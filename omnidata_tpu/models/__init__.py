@@ -1,0 +1,13 @@
+from .dpt import DPTHybrid
+from .unet import UNet
+from .layers import resize_bilinear, resize_bicubic
+from .convert import convert_dpt, convert_unet, strip_prefix
+from .registry import (
+    ModelBundle,
+    create_model,
+    dpt_hybrid_384,
+    depth_dpt_hybrid_384,
+    surface_normal_dpt_hybrid_384,
+    surface_normal_unet,
+    MODELS,
+)

@@ -1,0 +1,149 @@
+"""Shared NN building blocks for the Flax models.
+
+TPU-first: NHWC layout everywhere (XLA's native conv layout), erf-GELU,
+and align-corners bilinear resize implemented as two dense matmuls so it
+rides the MXU instead of gathers (torch F.interpolate(align_corners=True)
+has no jax.image equivalent).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _interp_matrix(n_out: int, n_in: int, align_corners: bool) -> np.ndarray:
+    """Dense 1D linear-interpolation matrix A (n_out, n_in): y = A @ x."""
+    A = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    for i in range(n_out):
+        if align_corners:
+            src = i * (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+        else:
+            src = (i + 0.5) * n_in / n_out - 0.5
+        src = min(max(src, 0.0), n_in - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        w = src - lo
+        A[i, lo] += 1.0 - w
+        A[i, hi] += w
+    return A
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple, align_corners: bool = False) -> jax.Array:
+    """Bilinear resize of NHWC (or HWC) arrays via dense interp matmuls."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    Ah = jnp.asarray(_interp_matrix(h_out, h_in, align_corners))
+    Aw = jnp.asarray(_interp_matrix(w_out, w_in, align_corners))
+    x = jnp.einsum("oh,...hwc->...owc", Ah, x)
+    x = jnp.einsum("ow,...hwc->...hoc", Aw, x)
+    return x
+
+
+def resize_bicubic(x: jax.Array, out_hw: tuple) -> jax.Array:
+    """Bicubic resize (half-pixel centers), matching torch's default."""
+    return jax.image.resize(
+        x, x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1]), method="cubic"
+    )
+
+
+class StdConv(nn.Module):
+    """Weight-standardized conv with TF 'SAME' padding (timm StdConv2dSame).
+
+    Standardization: per-output-channel zero-mean / unit-var over (kh,kw,in),
+    eps 1e-6 — required for the ResNetV2 backbone of DPT-hybrid.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+        )
+        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
+        w = (w - mean) / jnp.sqrt(var + 1e-6)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=self.strides,
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm(32) + optional ReLU (timm GroupNormAct)."""
+
+    groups: int = 32
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        return nn.relu(x) if self.act else x
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Standard ViT multi-head self-attention with fused qkv projection."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,d)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(head_dim)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(self.dim, name="proj")(y)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, name="mlp")(y)
+        return x

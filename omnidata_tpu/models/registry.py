@@ -1,0 +1,100 @@
+"""Model registry — the hub-style public API of the reference
+(omnidata_tools/torch/README.md:23-29: torch.hub names
+surface_normal_dpt_hybrid_384 / depth_dpt_hybrid_384 / dpt_hybrid_384).
+
+Each entry returns (module, variables, apply_fn) where apply_fn is a jitted
+NCHW->reference-convention forward so `demo.py` level code can stay
+layout-agnostic. Checkpoints: pass a path to a torch .ckpt/.pth to load
+converted pretrained weights; otherwise params are randomly initialized.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .convert import convert_dpt, convert_unet
+from .dpt import DPTHybrid
+from .unet import UNet
+
+
+class ModelBundle(NamedTuple):
+    module: Any
+    variables: dict
+    apply: Callable  # apply(variables, x_nchw) -> reference-convention output
+
+
+def _load_torch(path: str) -> dict:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _nchw_to_nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def dpt_hybrid_384(
+    num_channels: int = 1, checkpoint: str | None = None, image_size: int = 384
+) -> ModelBundle:
+    """DPT-hybrid; depth (C=1, output (B,H,W)) or normals (C=3, (B,3,H,W))."""
+    module = DPTHybrid(num_channels=num_channels)
+    if checkpoint:
+        variables = convert_dpt(_load_torch(checkpoint))
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+        )
+
+    @jax.jit
+    def apply(variables, x_nchw):
+        y = module.apply(variables, _nchw_to_nhwc(x_nchw))  # (B,H,W,C)
+        if num_channels == 1:
+            return y[..., 0]  # DPTDepthModel squeezes the channel
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    return ModelBundle(module, variables, apply)
+
+
+def depth_dpt_hybrid_384(checkpoint: str | None = None) -> ModelBundle:
+    return dpt_hybrid_384(num_channels=1, checkpoint=checkpoint)
+
+
+def surface_normal_dpt_hybrid_384(checkpoint: str | None = None) -> ModelBundle:
+    return dpt_hybrid_384(num_channels=3, checkpoint=checkpoint)
+
+
+def surface_normal_unet(checkpoint: str | None = None, image_size: int = 512) -> ModelBundle:
+    """The v1 UNet normal model (demo.py's commented v1 path, train_normal.py)."""
+    module = UNet(out_channels=3)
+    if checkpoint:
+        variables = convert_unet(_load_torch(checkpoint))
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+        )
+
+    @jax.jit
+    def apply(variables, x_nchw):
+        y = module.apply(variables, _nchw_to_nhwc(x_nchw))
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    return ModelBundle(module, variables, apply)
+
+
+MODELS = {
+    "dpt_hybrid_384": dpt_hybrid_384,
+    "depth_dpt_hybrid_384": depth_dpt_hybrid_384,
+    "surface_normal_dpt_hybrid_384": surface_normal_dpt_hybrid_384,
+    "surface_normal_unet": surface_normal_unet,
+}
+
+
+def create_model(name: str, **kwargs) -> ModelBundle:
+    if name not in MODELS:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(MODELS)}")
+    return MODELS[name](**kwargs)
