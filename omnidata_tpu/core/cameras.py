@@ -18,7 +18,7 @@ Coordinate conventions
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +32,11 @@ DEFAULT_RESOLUTION = 512
 R_BCAM2CV = jnp.asarray([[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]])
 
 
-class Camera(NamedTuple):
-    """A batch of pinhole cameras.
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """A batch of pinhole cameras (a pytree; ``resolution`` is static
+    metadata so jitted renderers specialize on image size).
 
     location: (...,3) world-space position.
     R:        (...,3,3) object rotation (world-from-camera, Blender frame).
@@ -44,7 +47,10 @@ class Camera(NamedTuple):
     location: jax.Array
     R: jax.Array
     fov: jax.Array
-    resolution: int = DEFAULT_RESOLUTION
+    resolution: int = dataclasses.field(default=DEFAULT_RESOLUTION, metadata=dict(static=True))
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def focal_px_from_fov(fov: jax.Array, resolution: int) -> jax.Array:

@@ -1,0 +1,22 @@
+from .mesh import (
+    TriangleMesh,
+    from_arrays,
+    compute_normals,
+    gathered_triangles,
+    cube,
+    quad_plane,
+    room,
+    load_obj,
+    load_ply,
+)
+from .raycast import RayHits, raycast, any_hit_within, count_crossings
+from .raster import Fragments, render_view, render_views, bin_triangles
+from .shade import (
+    interpolate_vertex_attribute,
+    smooth_normals_world,
+    flat_normals_world,
+    normals_to_camera,
+    face_labels,
+    vertex_colors,
+    hit_points_world,
+)

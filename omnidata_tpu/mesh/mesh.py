@@ -1,0 +1,267 @@
+"""HBM-resident triangle meshes with static (padded) shapes.
+
+The TPU replacement for the reference's Blender scene: a mesh is a pytree of
+fixed-shape arrays (SoA) that lives in device memory for the whole annotation
+run; every renderer/raycaster consumes it directly. Padding faces are fully
+degenerate (all three indices point at vertex 0) so they can never produce a
+ray hit — no masks needed in the hot loop.
+
+Loaders are host-side numpy (OBJ and PLY ascii/binary_little_endian), covering
+what the reference imports via Blender/trimesh (io_utils.py:482-521,
+create_rgb_images.py:56-96).
+"""
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TriangleMesh(NamedTuple):
+    """vertices (V,3) f32 · faces (F,3) i32 · per-vertex normals (V,3) ·
+    per-face normals (F,3) · optional per-vertex colors (V,3) in [0,1] ·
+    optional per-face labels (F,) i32 · num_faces: true face count
+    (faces[num_faces:] are degenerate padding)."""
+
+    vertices: jax.Array
+    faces: jax.Array
+    vertex_normals: jax.Array
+    face_normals: jax.Array
+    vertex_colors: jax.Array | None = None
+    face_labels: jax.Array | None = None
+    num_faces: int = 0
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def compute_normals(vertices: np.ndarray, faces: np.ndarray):
+    """Area-weighted vertex normals + unit face normals (host, numpy)."""
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)  # length = 2*area
+    norm = np.linalg.norm(fn, axis=-1, keepdims=True)
+    fn_unit = fn / np.maximum(norm, 1e-20)
+    vn = np.zeros_like(vertices)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    vn_norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    vn = vn / np.maximum(vn_norm, 1e-20)
+    return vn.astype(np.float32), fn_unit.astype(np.float32)
+
+
+def from_arrays(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_colors: np.ndarray | None = None,
+    face_labels: np.ndarray | None = None,
+    pad_multiple: int = 256,
+) -> TriangleMesh:
+    """Build a padded device mesh from host arrays."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    nf = faces.shape[0]
+    vn, fn = compute_normals(vertices, faces)
+
+    # Always leave at least one degenerate slot: binning uses F-1 as the
+    # fill index for empty tile-list entries, which must never be a real face.
+    F = _round_up(nf + 1, pad_multiple)
+    faces_p = np.zeros((F, 3), np.int32)
+    faces_p[:nf] = faces
+    fn_p = np.zeros((F, 3), np.float32)
+    fn_p[:nf] = fn
+    fl_p = None
+    if face_labels is not None:
+        fl_p = np.zeros((F,), np.int32)
+        fl_p[:nf] = np.asarray(face_labels, np.int32)
+
+    return TriangleMesh(
+        vertices=jnp.asarray(vertices),
+        faces=jnp.asarray(faces_p),
+        vertex_normals=jnp.asarray(vn),
+        face_normals=jnp.asarray(fn_p),
+        vertex_colors=None if vertex_colors is None else jnp.asarray(
+            np.asarray(vertex_colors, np.float32)
+        ),
+        face_labels=None if fl_p is None else jnp.asarray(fl_p),
+        num_faces=nf,
+    )
+
+
+def gathered_triangles(mesh: TriangleMesh):
+    """(F,3,3) triangle vertex positions — the raycaster's working set."""
+    return mesh.vertices[mesh.faces]
+
+
+# ---------------------------------------------------------------------------
+# Procedural test meshes
+# ---------------------------------------------------------------------------
+
+def cube(size: float = 1.0, center=(0.0, 0.0, 0.0)) -> TriangleMesh:
+    """Axis-aligned cube, outward normals, 12 triangles."""
+    s = size / 2.0
+    c = np.asarray(center, np.float32)
+    corners = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)], np.float32
+    ) + c
+    # faces as quads (ccw from outside), split into tris
+    quads = [
+        (0, 1, 3, 2),  # -x
+        (4, 6, 7, 5),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    tris = []
+    for a, b, cc, d in quads:
+        tris += [(a, b, cc), (a, cc, d)]
+    labels = np.repeat(np.arange(6, dtype=np.int32), 2)
+    return from_arrays(corners, np.asarray(tris, np.int32), face_labels=labels)
+
+
+def quad_plane(size: float = 10.0, z: float = 0.0) -> TriangleMesh:
+    """Square plane in the XY plane at height z, +Z normal."""
+    s = size / 2.0
+    v = np.array([[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return from_arrays(v, f)
+
+
+def room(size: float = 8.0, height: float = 3.0) -> TriangleMesh:
+    """A simple closed box room (normals inward) for sampling tests."""
+    s = size / 2.0
+    v = np.array(
+        [[x, y, z] for z in (0.0, height) for y in (-s, s) for x in (-s, s)],
+        np.float32,
+    )
+    # bottom z=0: 0..3 (x-major), top: 4..7
+    quads = [
+        (0, 2, 3, 1),  # floor, +z inward
+        (4, 5, 7, 6),  # ceiling, -z inward
+        (0, 1, 5, 4),  # -y wall
+        (2, 6, 7, 3),  # +y wall
+        (0, 4, 6, 2),  # -x wall
+        (1, 3, 7, 5),  # +x wall
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris += [(a, b, c), (a, c, d)]
+    return from_arrays(v, np.asarray(tris, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Loaders (host side)
+# ---------------------------------------------------------------------------
+
+def load_obj(path: str, pad_multiple: int = 256) -> TriangleMesh:
+    """Minimal OBJ: v / f lines; polygons fan-triangulated; 1-based indices."""
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+                for i in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return from_arrays(np.asarray(verts), np.asarray(faces), pad_multiple=pad_multiple)
+
+
+def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
+    """PLY loader: ascii / binary_little_endian; vertex xyz (+ rgb colors),
+    face vertex lists (fan-triangulated). Covers the Replica/semantic meshes'
+    layout (create_semantic_images.py:50-70 reads the same structure)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii").splitlines()
+    fmt = None
+    elements = []  # (name, count, [(type, name), ...])
+    for line in header:
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "element":
+            elements.append((t[1], int(t[2]), []))
+        elif t[0] == "property":
+            if t[1] == "list":
+                elements[-1][2].append(("list", t[2], t[3], t[4]))
+            else:
+                elements[-1][2].append((t[1], t[2]))
+
+    _SIZES = {"char": "b", "uchar": "B", "int8": "b", "uint8": "B",
+              "short": "h", "ushort": "H", "int16": "h", "uint16": "H",
+              "int": "i", "uint": "I", "int32": "i", "uint32": "I",
+              "float": "f", "float32": "f", "double": "d", "float64": "d"}
+
+    verts = colors = None
+    faces = []
+    if fmt == "ascii":
+        lines = data[header_end:].decode("ascii").split("\n")
+        li = 0
+        for name, count, props in elements:
+            rows = lines[li : li + count]
+            li += count
+            if name == "vertex":
+                arr = np.array([r.split() for r in rows], dtype=np.float64)
+                names = [p[1] for p in props]
+                xi = [names.index(k) for k in ("x", "y", "z")]
+                verts = arr[:, xi].astype(np.float32)
+                if all(k in names for k in ("red", "green", "blue")):
+                    ci = [names.index(k) for k in ("red", "green", "blue")]
+                    colors = (arr[:, ci] / 255.0).astype(np.float32)
+            elif name == "face":
+                for r in rows:
+                    t = [int(x) for x in r.split()]
+                    n, idx = t[0], t[1 : 1 + t[0]]
+                    for i in range(1, n - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+    elif fmt == "binary_little_endian":
+        off = header_end
+        for name, count, props in elements:
+            if name == "vertex" and all(p[0] != "list" for p in props):
+                fmt_str = "<" + "".join(_SIZES[p[0]] for p in props)
+                sz = struct.calcsize(fmt_str)
+                arr = np.frombuffer(data, dtype=np.dtype(
+                    [(p[1], "<" + _SIZES[p[0]]) for p in props]), count=count, offset=off)
+                off += sz * count
+                verts = np.stack([arr["x"], arr["y"], arr["z"]], -1).astype(np.float32)
+                names = [p[1] for p in props]
+                if all(k in names for k in ("red", "green", "blue")):
+                    colors = (np.stack([arr["red"], arr["green"], arr["blue"]], -1)
+                              .astype(np.float32) / 255.0)
+            elif name == "face":
+                # variable-length lists: walk
+                for _ in range(count):
+                    cnt_t, idx_t = props[0][2], props[0][3]
+                    csz = struct.calcsize(_SIZES[cnt_t])
+                    n = struct.unpack_from("<" + _SIZES[cnt_t], data, off)[0]
+                    off += csz
+                    isz = struct.calcsize(_SIZES[idx_t])
+                    idx = struct.unpack_from("<" + str(n) + _SIZES[idx_t], data, off)
+                    off += isz * n
+                    # skip any extra non-list properties on faces
+                    for p in props[1:]:
+                        if p[0] == "list":
+                            m = struct.unpack_from("<" + _SIZES[p[2]], data, off)[0]
+                            off += struct.calcsize(_SIZES[p[2]]) + m * struct.calcsize(_SIZES[p[3]])
+                        else:
+                            off += struct.calcsize(_SIZES[p[0]])
+                    for i in range(1, n - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+    else:
+        raise ValueError(f"unsupported PLY format {fmt!r}")
+
+    return from_arrays(verts, np.asarray(faces, np.int32),
+                       vertex_colors=colors, pad_multiple=pad_multiple)

@@ -1,0 +1,181 @@
+"""Mesh engine tests: analytic scenes with closed-form depth/normals, and
+rasterizer-vs-raycaster cross validation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omnidata_tpu.core import Camera, camera_rays, look_at_rotation
+from omnidata_tpu.mesh import (
+    Fragments,
+    TriangleMesh,
+    any_hit_within,
+    bin_triangles,
+    count_crossings,
+    cube,
+    face_labels,
+    from_arrays,
+    hit_points_world,
+    load_obj,
+    load_ply,
+    normals_to_camera,
+    quad_plane,
+    raycast,
+    render_view,
+    render_views,
+    room,
+    smooth_normals_world,
+    vertex_colors,
+)
+
+RES = 64
+
+
+def _camera(loc, target, fov=1.0, res=RES):
+    loc = jnp.asarray(loc, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    return Camera(loc, look_at_rotation(loc, target), jnp.asarray(fov), res)
+
+
+def test_raycast_plane_distance():
+    # camera at z=2 looking straight down at z=0 plane: t = 2 / cos(angle)
+    mesh = quad_plane(size=100.0, z=0.0)
+    cam = _camera([0, 0, 2.0], [0, 0, 0.0])
+    origin, dirs = camera_rays(cam)
+    hits = raycast(jnp.broadcast_to(origin, (RES * RES, 3)), dirs.reshape(-1, 3), mesh)
+    assert bool(hits.valid.all())
+    cos = -dirs.reshape(-1, 3)[:, 2]  # rays point downward
+    np.testing.assert_allclose(hits.t * cos, 2.0, atol=1e-4)
+
+
+def test_render_view_plane_zbuffer_constant():
+    mesh = quad_plane(size=100.0, z=0.0)
+    cam = _camera([0, 0, 2.0], [0, 0, 0.0])
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    assert bool(frag.valid.all())
+    # z-buffer depth is constant (plane ⟂ camera axis), euclidean is not
+    np.testing.assert_allclose(frag.z, 2.0, atol=1e-4)
+    assert float(frag.t.max()) > 2.0 + 1e-3
+    np.testing.assert_allclose(frag.t.min(), 2.0, atol=1e-3)
+
+
+def test_render_matches_raycast_on_cube():
+    mesh = cube(size=1.0)
+    cam = _camera([2.0, 1.5, 1.2], [0, 0, 0])
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    origin, dirs = camera_rays(cam)
+    hits = raycast(jnp.broadcast_to(origin, (RES * RES, 3)), dirs.reshape(-1, 3), mesh)
+    np.testing.assert_array_equal(np.asarray(frag.valid).ravel(), np.asarray(hits.valid))
+    tv = np.asarray(hits.t).reshape(RES, RES)
+    got = np.asarray(frag.t)
+    m = np.asarray(frag.valid)
+    np.testing.assert_allclose(got[m], tv[m], atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(frag.face)[m], np.asarray(hits.face).reshape(RES, RES)[m]
+    )
+
+
+def test_cube_face_labels_and_normals():
+    mesh = cube(size=1.0)
+    cam = _camera([0, 0, 3.0], [0, 0, 0], fov=0.6)
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    c = RES // 2
+    # center pixel hits the +z face (labels: quads ordered -x,+x,-y,+y,-z,+z)
+    assert bool(frag.valid[c, c])
+    lab = face_labels(frag, mesh, background=-1)
+    assert int(lab[c, c]) == 5
+    # flat cube: smooth normals at face centers ~ face normal +z
+    n_w = smooth_normals_world(frag, mesh)
+    n_cam = normals_to_camera(n_w, cam)
+    # facing the camera -> camera-frame z component ~ +1
+    assert float(n_cam[c, c, 2]) > 0.7
+    # depth at center = 3 - 0.5
+    np.testing.assert_allclose(frag.z[c, c], 2.5, atol=1e-3)
+
+
+def test_room_interior_fully_valid():
+    mesh = room(size=8.0, height=3.0)
+    cam = _camera([0, 0, 1.5], [2.0, 1.0, 1.5])
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    assert bool(frag.valid.all())  # closed room: every ray hits
+    assert float(frag.z.min()) > 0
+
+
+def test_inside_outside_parity():
+    mesh = room(size=8.0, height=3.0)
+    pts = jnp.asarray([[0.0, 0, 1.5], [10.0, 0, 1.5], [3.9, 3.9, 2.9], [0, 0, 5.0]])
+    dirs = jnp.broadcast_to(jnp.asarray([0.31, 0.52, 0.80]), (4, 3))
+    crossings = count_crossings(pts, dirs, mesh)
+    inside = np.asarray(crossings) % 2 == 1
+    np.testing.assert_array_equal(inside, [True, False, True, False])
+
+
+def test_line_of_sight():
+    mesh = cube(size=1.0, center=(0.0, 0.0, 0.0))
+    # segment passing through the cube is blocked; one to the side is not
+    o = jnp.asarray([[0.0, -3.0, 0.0], [0.0, -3.0, 3.0]])
+    targets = jnp.asarray([[0.0, 3.0, 0.0], [0.0, 3.0, 3.0]])
+    d = targets - o
+    dist = jnp.linalg.norm(d, axis=-1)
+    blocked = any_hit_within(o, d / dist[:, None], dist - 1e-3, mesh)
+    np.testing.assert_array_equal(np.asarray(blocked), [True, False])
+
+
+def test_vertex_color_interpolation():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32)
+    mesh = from_arrays(v, f, vertex_colors=colors)
+    cam = _camera([0.5, 0.5, 2.0], [0.5, 0.5, 0.0], fov=0.8)
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    img = vertex_colors(frag, mesh)
+    m = np.asarray(frag.valid)
+    vals = np.asarray(img)[m]
+    assert vals.min() >= -1e-5 and vals.max() <= 1 + 1e-5
+    # colors vary across the quad
+    assert vals.std(0).max() > 0.1
+
+
+def test_hit_points_on_plane():
+    mesh = quad_plane(size=100.0, z=0.25)
+    cam = _camera([0, 0, 2.0], [0, 0, 0.0])
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    pts = hit_points_world(frag, cam)
+    np.testing.assert_allclose(np.asarray(pts)[..., 2], 0.25, atol=1e-4)
+
+
+def test_bin_counts_reasonable():
+    mesh = cube(size=1.0)
+    cam = _camera([2.0, 1.5, 1.2], [0, 0, 0])
+    tri_lists, counts = bin_triangles(cam, mesh, tile=32, cap=64)
+    assert tri_lists.shape == ((RES // 32) ** 2, 64)
+    assert int(counts.max()) <= 12
+
+
+def test_render_views_batched():
+    mesh = cube(size=1.0)
+    locs = jnp.asarray([[2.0, 0, 0.5], [0, 2.0, 0.5], [-2.0, 0, 0.5]])
+    Rs = jax.vmap(lambda l: look_at_rotation(l, jnp.zeros(3)))(locs)
+    cams = Camera(locs, Rs, jnp.full((3,), 0.9), RES)
+    frags = render_views(cams, mesh, tile=32, cap=256, chunk=32)
+    assert frags.t.shape == (3, RES, RES)
+    assert bool(frags.valid.any(axis=(1, 2)).all())
+
+
+def test_obj_ply_loaders(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2 4 3\n")
+    m = load_obj(str(obj))
+    assert m.num_faces == 2 and m.vertices.shape[0] == 4
+
+    ply = tmp_path / "tri.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+        "0 0 0 255 0 0\n1 0 0 0 255 0\n0 1 0 0 0 255\n3 0 1 2\n"
+    )
+    m2 = load_ply(str(ply))
+    assert m2.num_faces == 1
+    np.testing.assert_allclose(np.asarray(m2.vertex_colors)[0], [1, 0, 0])
