@@ -1,0 +1,249 @@
+"""Unsupervised 2D / 2.5D segmentation: Felzenszwalb superpixels -> mean-color
+region-adjacency graph -> recursive normalized cuts.
+
+Host-side (numpy + scipy.sparse) by design, mirroring the reference's choice
+of CPU skimage for these cues (create_segmentation_2d_images.py:41-85,
+create_segmentation_25d_images.py:47-120); the per-image volume is tiny
+compared to rendering. Algorithms are implemented from the papers
+(Felzenszwalb & Huttenlocher 2004; Shi & Malik 2000) with skimage's parameter
+conventions so the reference settings transfer:
+
+- felzenszwalb(img, scale, sigma, min_size): 8-connected grid graph, weight =
+  L2 color distance, Kruskal-order merging with threshold tau(C) = scale/|C|,
+  then small-component merging.
+- rag_mean_color(mode='similarity'): region weight = exp(-d^2 / sigma),
+  sigma = 255.0.
+- cut_normalized(thresh, num_cuts): recursive two-way split by the Fiedler
+  vector of the normalized Laplacian; split threshold chosen among num_cuts
+  candidates minimizing the NCut value; stop when NCut > thresh.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage as ndi
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.parent = np.arange(n)
+        self.size = np.ones(n, np.int64)
+
+    def find(self, x):
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return ra
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+        return ra
+
+
+def felzenszwalb(img: np.ndarray, scale: float = 200.0, sigma: float = 0.8,
+                 min_size: int = 20) -> np.ndarray:
+    """Graph-based superpixels; img (H,W) or (H,W,C) float. Returns labels."""
+    img = np.atleast_3d(np.asarray(img, np.float64))
+    if sigma > 0:
+        img = np.stack(
+            [ndi.gaussian_filter(img[..., c], sigma) for c in range(img.shape[-1])], -1
+        )
+    H, W, _ = img.shape
+    idx = np.arange(H * W).reshape(H, W)
+
+    edges, weights = [], []
+
+    def add(a, b):
+        d = np.sqrt(np.sum((img.reshape(H * W, -1)[a] - img.reshape(H * W, -1)[b]) ** 2, -1))
+        edges.append(np.stack([a, b], -1))
+        weights.append(d)
+
+    add(idx[:, :-1].ravel(), idx[:, 1:].ravel())      # right
+    add(idx[:-1, :].ravel(), idx[1:, :].ravel())      # down
+    add(idx[:-1, :-1].ravel(), idx[1:, 1:].ravel())   # down-right
+    add(idx[1:, :-1].ravel(), idx[:-1, 1:].ravel())   # up-right
+    E = np.concatenate(edges)
+    Wt = np.concatenate(weights)
+
+    order = np.argsort(Wt, kind="stable")
+    uf = _UnionFind(H * W)
+    thresh = np.full(H * W, scale, np.float64)  # tau = scale / |C|, |C|=1
+    for ei in order:
+        a, b = E[ei]
+        w = Wt[ei]
+        ra, rb = uf.find(a), uf.find(b)
+        if ra == rb:
+            continue
+        if w <= thresh[ra] and w <= thresh[rb]:
+            r = uf.union(ra, rb)
+            thresh[r] = w + scale / uf.size[r]
+    # merge small components
+    for ei in order:
+        a, b = E[ei]
+        ra, rb = uf.find(a), uf.find(b)
+        if ra != rb and (uf.size[ra] < min_size or uf.size[rb] < min_size):
+            uf.union(ra, rb)
+
+    roots = np.array([uf.find(i) for i in range(H * W)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels.reshape(H, W)
+
+
+def rag_mean_color(img: np.ndarray, labels: np.ndarray, sigma: float = 255.0):
+    """Mean-color region adjacency with similarity weights exp(-d^2/sigma).
+
+    Returns (W sparse (n,n), mean_colors (n,C))."""
+    img = np.atleast_3d(np.asarray(img, np.float64))
+    H, W_, C = img.shape
+    n = labels.max() + 1
+    flat = labels.ravel()
+    counts = np.bincount(flat, minlength=n).astype(np.float64)
+    means = np.stack(
+        [np.bincount(flat, weights=img[..., c].ravel(), minlength=n) for c in range(C)], -1
+    ) / np.maximum(counts[:, None], 1)
+
+    pairs = set()
+    for (a, b) in ((labels[:, :-1], labels[:, 1:]), (labels[:-1, :], labels[1:, :])):
+        diff = a != b
+        pa, pb = a[diff], b[diff]
+        lo = np.minimum(pa, pb)
+        hi = np.maximum(pa, pb)
+        pairs.update(zip(lo.tolist(), hi.tolist()))
+    if not pairs:
+        return sp.csr_matrix((n, n)), means
+    ij = np.array(sorted(pairs))
+    d2 = np.sum((means[ij[:, 0]] - means[ij[:, 1]]) ** 2, -1)
+    w = np.exp(-d2 / sigma)
+    Wm = sp.coo_matrix(
+        (np.concatenate([w, w]), (np.concatenate([ij[:, 0], ij[:, 1]]),
+                                  np.concatenate([ij[:, 1], ij[:, 0]]))),
+        shape=(n, n),
+    ).tocsr()
+    return Wm, means
+
+
+def _ncut_value(Wm, mask):
+    """NCut(A,B) = cut/assoc(A) + cut/assoc(B)."""
+    a = mask
+    b = ~mask
+    cut = Wm[a][:, b].sum()
+    assoc_a = Wm[a].sum()
+    assoc_b = Wm[b].sum()
+    if assoc_a == 0 or assoc_b == 0:
+        return np.inf
+    return cut / assoc_a + cut / assoc_b
+
+
+def _two_way_ncut(Wm, thresh, num_cuts, rng):
+    n = Wm.shape[0]
+    if n < 3:
+        return None
+    d = np.asarray(Wm.sum(1)).ravel()
+    # include self-loops like skimage (diagonal max weight)
+    D = sp.diags(d + 1e-12)
+    L = D - Wm
+    Dm12 = sp.diags(1.0 / np.sqrt(d + 1e-12))
+    A = Dm12 @ L @ Dm12
+    try:
+        vals, vecs = spla.eigsh(A.astype(np.float64), k=min(2, n - 1), sigma=None,
+                                which="SM", maxiter=5000)
+    except Exception:
+        return None
+    order = np.argsort(vals)
+    if len(order) < 2:
+        return None
+    fiedler = Dm12 @ vecs[:, order[1]]
+    lo, hi = fiedler.min(), fiedler.max()
+    if hi - lo < 1e-12:
+        return None
+    best = (np.inf, None)
+    for t in np.linspace(lo, hi, num_cuts + 2)[1:-1]:
+        mask = fiedler > t
+        if mask.all() or (~mask).all():
+            continue
+        v = _ncut_value(Wm, mask)
+        if v < best[0]:
+            best = (v, mask)
+    if best[1] is None or best[0] > thresh:
+        return None
+    return best[1]
+
+
+def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
+                   num_cuts: int = 10, seed: int = 0) -> np.ndarray:
+    """Recursively bipartition the RAG; relabel the image."""
+    rng = np.random.RandomState(seed)
+    n = Wm.shape[0]
+    region_of = np.zeros(n, np.int64)  # final region id per original segment
+    next_id = [0]
+
+    def recurse(nodes):
+        sub = Wm[nodes][:, nodes]
+        mask = _two_way_ncut(sub, thresh, num_cuts, rng)
+        if mask is None:
+            region_of[nodes] = next_id[0]
+            next_id[0] += 1
+            return
+        recurse(nodes[mask])
+        recurse(nodes[~mask])
+
+    recurse(np.arange(n))
+    return region_of[labels]
+
+
+def segment_2d(gray: np.ndarray, scale: float = 200.0, blur: float = 3.0,
+               cut_thresh: float = 0.005, num_cuts: int = 10) -> np.ndarray:
+    """segment_unsup2d (create_segmentation_2d_images.py:41-85): felzenszwalb
+    on the (blurred) image, mean-color RAG, normalized cuts."""
+    labels = felzenszwalb(gray, scale=scale, sigma=blur, min_size=20)
+    Wm, _ = rag_mean_color(gray, labels)
+    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts)
+
+
+def segment_25d(
+    depth_code_u16: np.ndarray,
+    normal_rgb: np.ndarray,
+    edge_occlusion_u16: np.ndarray,
+    depth_weight: float = 2.0,
+    normal_weight: float = 1.0,
+    edge_weight: float = 10.0,
+    scale: float = 200.0,
+    cut_thresh: float = 1.0,
+    num_cuts: int = 100,
+) -> np.ndarray:
+    """segment_unsup25d (create_segmentation_25d_images.py:47-120): 5-channel
+    [w_d*log(depth)/16, w_n*smoothed normal, w_e*edge] -> felz(min_size=200)
+    -> similarity RAG -> ncut."""
+    from .edges import smooth_with_mask
+    import jax.numpy as jnp
+
+    depth = np.asarray(depth_code_u16, np.float64)
+    mask = depth < 2**16 - 2
+    img_depth = np.log(np.maximum(depth, 1.0)) / 16.0
+    img_normal = np.asarray(normal_rgb, np.float64) / 255.0
+    img_edge = np.asarray(edge_occlusion_u16, np.float64) / 255.0 / 255.0
+
+    sm = lambda x, s: np.asarray(smooth_with_mask(jnp.asarray(x), jnp.asarray(mask), s))
+    img_normal = np.stack([sm(img_normal[..., c], 2.0) for c in range(3)], -1)
+    img_depth = sm(img_depth, 1.0)
+
+    img = np.concatenate(
+        [
+            depth_weight * img_depth[..., None],
+            normal_weight * img_normal,
+            edge_weight * img_edge[..., None],
+        ],
+        -1,
+    )
+    labels = felzenszwalb(img, scale=scale, sigma=0.0, min_size=200)
+    Wm, _ = rag_mean_color(img, labels)
+    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts)

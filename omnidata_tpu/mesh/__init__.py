@@ -6,6 +6,7 @@ from .mesh import (
     cube,
     quad_plane,
     room,
+    uv_sphere,
     load_obj,
     load_ply,
 )

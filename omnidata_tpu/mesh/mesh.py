@@ -157,6 +157,38 @@ def room(size: float = 8.0, height: float = 3.0) -> TriangleMesh:
     return from_arrays(v, np.asarray(tris, np.int32))
 
 
+def uv_sphere(radius: float = 1.0, center=(0.0, 0.0, 0.0), n_lat: int = 24,
+              n_lon: int = 48) -> TriangleMesh:
+    """UV sphere (outward normals) — analytic curvature 1/radius for tests."""
+    c = np.asarray(center, np.float32)
+    verts = [np.array([0, 0, radius], np.float32) + c]
+    for i in range(1, n_lat):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append(
+                c + radius * np.array(
+                    [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)],
+                    np.float32,
+                )
+            )
+    verts.append(np.array([0, 0, -radius], np.float32) + c)
+    v = np.stack(verts)
+    tris = []
+    ring = lambda i, j: 1 + (i - 1) * n_lon + (j % n_lon)
+    for j in range(n_lon):  # top cap
+        tris.append((0, ring(1, j), ring(1, j + 1)))
+    for i in range(1, n_lat - 1):
+        for j in range(n_lon):
+            a, b = ring(i, j), ring(i, j + 1)
+            d, e = ring(i + 1, j), ring(i + 1, j + 1)
+            tris += [(a, d, e), (a, e, b)]
+    bot = len(verts) - 1
+    for j in range(n_lon):  # bottom cap
+        tris.append((bot, ring(n_lat - 1, j + 1), ring(n_lat - 1, j)))
+    return from_arrays(v, np.asarray(tris, np.int32))
+
+
 # ---------------------------------------------------------------------------
 # Loaders (host side)
 # ---------------------------------------------------------------------------

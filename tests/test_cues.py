@@ -1,0 +1,197 @@
+"""Cue tests: encodings, reshading physics, edges vs scipy, DoH keypoints,
+curvature on analytic spheres, segmentation sanity, vanishing points vs the
+reference's golden JSON."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnidata_tpu.core import Camera, camera_rays, look_at_rotation
+from omnidata_tpu.cues import (
+    bake_curvature_colors,
+    clip_curvatures,
+    curvature_colors,
+    cut_normalized,
+    decode_depth_16bit,
+    decode_normals_color,
+    edge_occlusion,
+    edge_texture,
+    encode_depth_16bit,
+    encode_normals_color,
+    felzenszwalb,
+    gaussian_blur_constant,
+    keypoints2d,
+    mask_valid_image,
+    rag_mean_color,
+    reshade,
+    segment_2d,
+    sobel_magnitude,
+    vanishing_points,
+    vertex_principal_curvatures,
+)
+from omnidata_tpu.mesh import (
+    quad_plane,
+    render_view,
+    smooth_normals_world,
+    uv_sphere,
+    vertex_colors,
+)
+
+
+def test_depth_encoding_roundtrip():
+    d = jnp.asarray([[0.5, 1.0], [127.9, 60.0]])
+    valid = jnp.asarray([[True, True], [True, False]])
+    code = encode_depth_16bit(d, valid)
+    assert code.dtype == jnp.uint16
+    assert int(code[1, 1]) == 65535  # invalid sentinel
+    # sensitivity 1/512 m
+    assert int(code[0, 1]) == round(1.0 / 128 * 65535)
+    dec, v2 = decode_depth_16bit(code)
+    np.testing.assert_allclose(dec[0, 0], 0.5, atol=1 / 512)
+    assert not bool(v2[1, 1])
+
+
+def test_mask_valid():
+    m = mask_valid_image(jnp.asarray([[True, False]]))
+    np.testing.assert_array_equal(np.asarray(m), [[255, 0]])
+
+
+def test_normals_color_roundtrip():
+    n = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    col = encode_normals_color(n)
+    # facing camera -> (0.5, 0.5, 1.0) = blue-ish
+    np.testing.assert_allclose(col[0], [0.5, 0.5, 1.0], atol=1e-6)
+    # +x normal: R inverted -> 0
+    np.testing.assert_allclose(col[1], [0.0, 0.5, 0.5], atol=1e-6)
+    back = decode_normals_color(col)
+    np.testing.assert_allclose(back, n, atol=1e-5)
+
+
+def test_reshading_physics():
+    # plane facing the camera at distance == half-life -> value = E/2 * cos
+    mesh = quad_plane(size=100.0, z=0.0)
+    loc = jnp.asarray([0.0, 0, 8.0])
+    cam = Camera(loc, look_at_rotation(loc, jnp.asarray([0.0, 0, 0])), jnp.asarray(0.2), 32)
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    n = smooth_normals_world(frag, mesh)
+    _, dirs = camera_rays(cam)
+    img = reshade(frag.t, n, dirs, frag.valid, energy=2.5, half_life=8.0)
+    c = 16
+    # at center: r ~ 8, cos ~ 1 -> 2.5 * 64/(64+64) = 1.25 -> clipped to 1.0
+    np.testing.assert_allclose(img[c, c], 1.0, atol=0.01)
+    img2 = reshade(frag.t, n, dirs, frag.valid, energy=1.0, half_life=8.0)
+    np.testing.assert_allclose(img2[c, c], 0.5, atol=0.01)
+
+
+def test_gaussian_matches_scipy():
+    import scipy.ndimage as ndi
+
+    x = np.random.RandomState(0).rand(33, 41).astype(np.float32)
+    ref = ndi.gaussian_filter(x, 2.0, mode="constant")
+    got = gaussian_blur_constant(jnp.asarray(x), 2.0)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_sobel_magnitude_shape_and_border():
+    x = np.zeros((16, 16), np.float32)
+    x[:, 8:] = 1.0
+    mag = np.asarray(sobel_magnitude(jnp.asarray(x), jnp.ones((16, 16), bool)))
+    # vertical edge detected between cols 7 and 8
+    assert mag[8, 7] > 0.5 and mag[8, 8] > 0.5
+    # border eroded to zero
+    assert mag[0, :].max() == 0 and mag[:, 0].max() == 0
+
+
+def test_edge_texture_responds_to_edges():
+    g = np.zeros((32, 32), np.float32)
+    g[:, 16:] = 1.0
+    e = np.asarray(edge_texture(jnp.asarray(g), sigma=3.0))
+    assert e[16, 16] > 0.05
+    assert e[16, 2] < e[16, 16] / 5
+
+
+def test_edge_occlusion_masks_invalid():
+    code = np.full((16, 16), 1000, np.uint16)
+    code[:, 8:] = 65535  # invalid
+    e = np.asarray(edge_occlusion(jnp.asarray(code)))
+    # all-invalid region and its eroded boundary produce 0
+    assert e[:, 9:].max() == 0
+
+
+def test_keypoints2d_blob_response():
+    # a bright disk on dark background: DoH response peaks near the center
+    H = 64
+    yy, xx = np.mgrid[0:H, 0:H]
+    img = ((yy - 32) ** 2 + (xx - 32) ** 2 < 8**2).astype(np.float32)
+    resp = np.asarray(keypoints2d(jnp.asarray(img)))
+    cy, cx = np.unravel_index(resp.argmax(), resp.shape)
+    assert abs(cy - 32) <= 3 and abs(cx - 32) <= 3
+    assert resp.max() > 0
+
+
+def test_curvature_on_sphere():
+    mesh = uv_sphere(radius=0.5, n_lat=32, n_lon=64)
+    v = np.asarray(mesh.vertices)
+    f = np.asarray(mesh.faces[: mesh.num_faces])
+    vn = np.asarray(mesh.vertex_normals)
+    k1, k2 = vertex_principal_curvatures(v, f, vn, rings=2)
+    # analytic: k1 = k2 = 1/0.5 = 2 (sign: convex w.r.t. outward normals -> negative z
+    # in tangent frame -> negative curvature by our convention; check magnitude)
+    interior = np.abs(v[:, 2]) < 0.45  # away from pole triangulation artifacts
+    med1 = np.median(np.abs(k1[interior]))
+    med2 = np.median(np.abs(k2[interior]))
+    assert 1.5 < med1 < 2.5, med1
+    assert 1.5 < med2 < 2.5, med2
+
+
+def test_curvature_color_map():
+    k = np.asarray([0.0])
+    col = curvature_colors(k, k, min_radius=0.03)
+    # zero curvature maps to (127/255-ish) mid-grey in R,G
+    np.testing.assert_allclose(col[0, :2], [np.round(0.5 * 254) / 255.0] * 2)
+    assert col[0, 2] == 0
+    np.testing.assert_array_equal(clip_curvatures(np.asarray([100.0]), 0.03), [1 / 0.03])
+
+
+def test_bake_and_render_curvature():
+    mesh = bake_curvature_colors(uv_sphere(radius=0.5, n_lat=16, n_lon=24), rings=2)
+    loc = jnp.asarray([0.0, 0, 2.0])
+    cam = Camera(loc, look_at_rotation(loc, jnp.zeros(3)), jnp.asarray(0.6), 32)
+    frag = render_view(cam, mesh, tile=32, cap=2048, chunk=64)
+    img = vertex_colors(frag, mesh)
+    m = np.asarray(frag.valid)
+    assert m.any()
+    vals = np.asarray(img)[m]
+    assert np.all(vals[:, 2] == 0)  # B channel empty
+    assert vals[:, 0].std() >= 0  # well-defined
+
+
+def test_felzenszwalb_segments_two_regions():
+    img = np.zeros((24, 24), np.float64)
+    img[:, 12:] = 10.0
+    labels = felzenszwalb(img, scale=1.0, sigma=0.0, min_size=5)
+    assert len(np.unique(labels)) == 2
+    assert (labels[:, :12] == labels[0, 0]).all()
+
+
+def test_segment_2d_pipeline():
+    rng = np.random.RandomState(0)
+    # 0-255 scale (the RAG similarity sigma=255 convention assumes it)
+    img = rng.rand(32, 33) * 2.0
+    img[:, 11:22] += 128.0
+    img[:, 22:] += 255.0
+    labels = segment_2d(img, scale=50.0, blur=0.5, cut_thresh=0.005)
+    assert labels.shape == (32, 33)
+    assert len(np.unique(labels)) >= 3
+
+
+def test_vanishing_points_golden(reference_root):
+    view = json.load(
+        open(reference_root / "omnidata_annotator/assets/taskonomy/point_202_view_5_domain_point_info.json")
+    )
+    img_vps, sphere_vps = vanishing_points(view, resolution=view.get("resolution", 512))
+    ref = view["vanishing_points_gaussian_sphere"]
+    got = {k: np.asarray(v) for k, v in zip("xyz", sphere_vps)}
+    for axis in "xyz":
+        np.testing.assert_allclose(got[axis], ref[axis], atol=1e-5)
