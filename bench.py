@@ -1,0 +1,123 @@
+"""Benchmark: annotated viewpoints/sec on real TPU hardware.
+
+Scene: a procedural Replica-like interior (room + furniture-scale boxes +
+spheres, ~100k triangles) with baked curvature vertex colors. Per viewpoint,
+the device pipeline (annotator.annotate_view) produces the 10 device-side
+modalities at 512x512: depth_zbuffer, depth_euclidean, mask_valid, normal,
+reshading, rgb, principal_curvature, edge_occlusion, edge_texture,
+keypoints2d.
+
+Baseline: the reference annotates its demo mesh (12 modalities, ~12 points,
+one view each) in <= ~10 min on CPU (omnidata_annotator/README.md:55) ->
+~0.02 viewpoints/sec with the full modality set. vs_baseline is measured
+against that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VIEWPOINTS_PER_SEC = 12.0 / 600.0  # reference demo: ~12 viewpoints / 10 min
+
+
+def build_scene(seed: int = 0, n_spheres: int = 4, n_boxes: int = 5):
+    import jax.numpy as jnp
+
+    from omnidata_tpu.cues.curvature import bake_curvature_colors
+    from omnidata_tpu.mesh import from_arrays, room, cube, uv_sphere
+
+    rng = np.random.RandomState(seed)
+    parts = [room(size=10.0, height=3.2)]
+    for _ in range(n_spheres):
+        c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5), rng.uniform(0.4, 1.2))
+        parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c, n_lat=48, n_lon=96))
+    for _ in range(n_boxes):
+        c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0), rng.uniform(0.3, 1.0))
+        parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
+
+    vs, fs = [], []
+    off = 0
+    for p in parts:
+        vs.append(np.asarray(p.vertices))
+        fs.append(np.asarray(p.faces[: p.num_faces]) + off)
+        off += p.vertices.shape[0]
+    v = np.concatenate(vs)
+    f = np.concatenate(fs)
+    colors = rng.rand(v.shape[0], 3).astype(np.float32) * 0.6 + 0.2
+    mesh = from_arrays(v, f, vertex_colors=colors)
+    curv = bake_curvature_colors(mesh, rings=1)
+    return mesh, curv
+
+
+def sample_cameras(n: int, seed: int = 1, resolution: int = 512):
+    import jax
+    import jax.numpy as jnp
+
+    from omnidata_tpu.core import Camera, look_at_rotation
+
+    rng = np.random.RandomState(seed)
+    locs = np.stack(
+        [
+            rng.uniform(-3.0, 3.0, n),
+            rng.uniform(-3.0, 3.0, n),
+            rng.uniform(1.2, 2.0, n),
+        ],
+        -1,
+    ).astype(np.float32)
+    tgts = np.stack(
+        [rng.uniform(-4, 4, n), rng.uniform(-4, 4, n), rng.uniform(0.3, 2.5, n)], -1
+    ).astype(np.float32)
+    fovs = rng.uniform(0.7, 1.4, n).astype(np.float32)
+    Rs = jax.vmap(look_at_rotation)(jnp.asarray(locs), jnp.asarray(tgts))
+    return [
+        Camera(jnp.asarray(locs[i]), Rs[i], jnp.asarray(fovs[i]), resolution)
+        for i in range(n)
+    ]
+
+
+def main():
+    import jax
+
+    from omnidata_tpu.annotator import annotate_view
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    res = 512
+    tile = 64
+    cap = 4096 if on_tpu else 1024
+    chunk = 128 if on_tpu else 64
+    n_views = 32 if on_tpu else 2
+
+    mesh, curv = build_scene()
+    n_faces = mesh.num_faces
+    cams = sample_cameras(n_views + 1, resolution=res)
+
+    kw = dict(tile=tile, cap=cap, chunk=chunk, parallel_tiles=on_tpu)
+
+    # warmup / compile
+    out = annotate_view(cams[0], mesh, curv, **kw)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for cam in cams[1:]:
+        out = annotate_view(cam, mesh, curv, **kw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    vps = n_views / dt
+
+    result = {
+        "metric": f"annotated viewpoints/sec (10 device modalities @512^2, {n_faces} tris, {backend})",
+        "value": round(vps, 3),
+        "unit": "viewpoints/s",
+        "vs_baseline": round(vps / BASELINE_VIEWPOINTS_PER_SEC, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""The device-side annotation pipeline: one fused jitted program per camera
+batch that emits every label image the reference generates with separate
+Blender/skimage passes (SURVEY.md §3.2 — the per-modality subprocesses
+collapse into a single XLA computation over shared Fragments).
+
+Modalities produced on device per view:
+  depth_zbuffer (u16) · depth_euclidean (u16) · mask_valid (u8) ·
+  normal (u8 RGB) · reshading (u8) · rgb (u8, vertex colors) ·
+  principal_curvature (u8 RG, from baked vertex colors) ·
+  edge_occlusion (u16) · edge_texture (u16) · keypoints2d (u16)
+
+Host-side modalities (segment_unsup2d/25d, keypoints3d/NARF) plug in after
+device decode; see cues.segmentation / cues.keypoints3d.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import Camera, camera_rays
+from ..cues.edges import edge_occlusion, edge_texture
+from ..cues.encode import (
+    encode_depth_16bit,
+    encode_normals_color,
+    img_as_uint8,
+    img_as_uint16,
+    mask_valid_image,
+)
+from ..cues.keypoints2d import keypoints2d
+from ..cues.reshading import reshade
+from ..mesh.mesh import TriangleMesh
+from ..mesh.raster import render_view
+from ..mesh.shade import (
+    normals_to_camera,
+    smooth_normals_world,
+    vertex_colors,
+)
+
+DEVICE_MODALITIES = (
+    "depth_zbuffer",
+    "depth_euclidean",
+    "mask_valid",
+    "normal",
+    "reshading",
+    "rgb",
+    "principal_curvature",
+    "edge_occlusion",
+    "edge_texture",
+    "keypoints2d",
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile", "cap", "chunk", "parallel_tiles", "modalities"),
+)
+def annotate_view(
+    camera: Camera,
+    mesh: TriangleMesh,
+    curvature_mesh: TriangleMesh | None = None,
+    tile: int = 64,
+    cap: int = 2048,
+    chunk: int = 128,
+    parallel_tiles: bool = False,
+    modalities: tuple = DEVICE_MODALITIES,
+) -> dict[str, jax.Array]:
+    """Render one view and produce all requested device modalities.
+
+    curvature_mesh: same geometry with curvature RG vertex colors baked
+    (cues.curvature.bake_curvature_colors) — shares the Fragments."""
+    frag = render_view(camera, mesh, tile, cap, chunk, parallel_tiles)
+    out: dict[str, Any] = {}
+
+    if "depth_zbuffer" in modalities or "edge_occlusion" in modalities:
+        zcode = encode_depth_16bit(frag.z, frag.valid)
+        out["depth_zbuffer"] = zcode
+    if "depth_euclidean" in modalities:
+        out["depth_euclidean"] = encode_depth_16bit(frag.t, frag.valid)
+    if "mask_valid" in modalities:
+        out["mask_valid"] = mask_valid_image(frag.valid)
+
+    needs_normals = "normal" in modalities or "reshading" in modalities
+    if needs_normals:
+        n_world = smooth_normals_world(frag, mesh)
+    if "normal" in modalities:
+        n_cam = normals_to_camera(n_world, camera)
+        out["normal"] = img_as_uint8(encode_normals_color(n_cam, frag.valid))
+    if "reshading" in modalities:
+        _, dirs = camera_rays(camera)
+        out["reshading"] = img_as_uint8(reshade(frag.t, n_world, dirs, frag.valid))
+
+    needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
+    if needs_rgb and mesh.vertex_colors is not None:
+        rgb = vertex_colors(frag, mesh)
+        if "rgb" in modalities:
+            out["rgb"] = img_as_uint8(rgb)
+        gray = jnp.mean(rgb, -1)
+        if "edge_texture" in modalities:
+            out["edge_texture"] = img_as_uint16(edge_texture(gray, sigma=3.0))
+        if "keypoints2d" in modalities:
+            out["keypoints2d"] = img_as_uint16(jnp.clip(keypoints2d(gray), 0.0, 1.0))
+
+    if "principal_curvature" in modalities and curvature_mesh is not None:
+        out["principal_curvature"] = img_as_uint8(vertex_colors(frag, curvature_mesh))
+
+    if "edge_occlusion" in modalities:
+        out["edge_occlusion"] = img_as_uint16(edge_occlusion(out["depth_zbuffer"]))
+        if "depth_zbuffer" not in modalities:
+            del out["depth_zbuffer"]
+
+    return out

@@ -1,0 +1,43 @@
+"""Validity masks (reference: omnidata_tools/torch/data/masks.py:11-58 and
+train_*.py make_valid_mask:205-242): mask from a sentinel value, then the
+*invalid* region is dilated by max-pooling so the loss ignores a safety band
+around holes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("max_pool_size",))
+def build_mask(target: jax.Array, val: float = 0.0, max_pool_size: int = 4) -> jax.Array:
+    """NCHW target -> boolean mask (N,1,H,W); pixels equal to ``val`` are
+    invalid, with the invalid region dilated by a max_pool_size window."""
+    invalid = (target[:, :1] == val).astype(jnp.float32)
+    dil = jax.lax.reduce_window(
+        invalid,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 1, max_pool_size, max_pool_size),
+        (1, 1, 1, 1),
+        "SAME",
+    )
+    return dil < 0.5
+
+
+@partial(jax.jit, static_argnames=("max_pool_size",))
+def dilate_invalid(mask_valid: jax.Array, max_pool_size: int = 8) -> jax.Array:
+    """Dilate the invalid region of a boolean NCHW mask (train_depth.py's
+    make_valid_mask uses max-pool on the inverted mask)."""
+    invalid = (~mask_valid).astype(jnp.float32)
+    dil = jax.lax.reduce_window(
+        invalid,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 1, max_pool_size, max_pool_size),
+        (1, 1, 1, 1),
+        "SAME",
+    )
+    return dil < 0.5

@@ -142,14 +142,15 @@ def room(size: float = 8.0, height: float = 3.0) -> TriangleMesh:
         [[x, y, z] for z in (0.0, height) for y in (-s, s) for x in (-s, s)],
         np.float32,
     )
-    # bottom z=0: 0..3 (x-major), top: 4..7
+    # bottom z=0: 0..3 (x-major), top: 4..7; winding chosen so normals point
+    # into the room (like the reference's interior scan meshes)
     quads = [
-        (0, 2, 3, 1),  # floor, +z inward
-        (4, 5, 7, 6),  # ceiling, -z inward
-        (0, 1, 5, 4),  # -y wall
-        (2, 6, 7, 3),  # +y wall
-        (0, 4, 6, 2),  # -x wall
-        (1, 3, 7, 5),  # +x wall
+        (0, 1, 3, 2),  # floor, +z inward
+        (4, 6, 7, 5),  # ceiling, -z inward
+        (0, 4, 5, 1),  # -y wall, +y inward
+        (2, 3, 7, 6),  # +y wall, -y inward
+        (0, 2, 6, 4),  # -x wall, +x inward
+        (1, 5, 7, 3),  # +x wall, -x inward
     ]
     tris = []
     for a, b, c, d in quads:

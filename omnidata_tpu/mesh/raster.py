@@ -91,17 +91,22 @@ def _project_all(K, RT, pts):
     return uv, zc
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "chunk"))
+@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "parallel_tiles"))
 def render_view(
     camera: Camera,
     mesh: TriangleMesh,
     tile: int = 64,
     cap: int = 2048,
     chunk: int = 128,
+    parallel_tiles: bool = False,
 ) -> Fragments:
     """Render one camera view to Fragments. resolution must be divisible by
     ``tile``; cap bounds triangles per tile (overflow drops farthest-binned —
-    raise cap for dense meshes; see bin_triangles counts)."""
+    raise cap for dense meshes; see bin_triangles counts).
+
+    parallel_tiles=True vmaps the per-tile rasterization (all tiles in
+    flight — higher peak memory, much better TPU utilization); False runs
+    tiles sequentially under lax.map (CPU-friendly)."""
     res = camera.resolution
     n1d = res // tile
     T = n1d * n1d
@@ -149,7 +154,10 @@ def render_view(
         (t, f, uv), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
         return t, f, uv
 
-    t, f, uv = jax.lax.map(raster_tile, (tile_dirs, tile_tris))  # (T,P),(T,P),(T,P,2)
+    if parallel_tiles:
+        t, f, uv = jax.vmap(lambda d, i: raster_tile((d, i)))(tile_dirs, tile_tris)
+    else:
+        t, f, uv = jax.lax.map(raster_tile, (tile_dirs, tile_tris))  # (T,P)x2,(T,P,2)
 
     def untile(x):
         shp = x.shape[2:]
@@ -173,10 +181,12 @@ def render_view(
 
 
 def render_views(cameras: Camera, mesh: TriangleMesh, tile: int = 64,
-                 cap: int = 2048, chunk: int = 128) -> Fragments:
+                 cap: int = 2048, chunk: int = 128,
+                 parallel_tiles: bool = False) -> Fragments:
     """vmap of render_view over a leading camera batch dimension."""
     return jax.vmap(
         lambda loc, R, fov: render_view(
-            Camera(loc, R, fov, cameras.resolution), mesh, tile, cap, chunk
+            Camera(loc, R, fov, cameras.resolution), mesh, tile, cap, chunk,
+            parallel_tiles,
         )
     )(cameras.location, cameras.R, cameras.fov)

@@ -1,0 +1,4 @@
+from .parallel import make_mesh, param_sharding, batch_sharding, replicated
+from .state import TrainState, create_train_state, depth_optimizer, normal_optimizer
+from .depth import make_depth_train_step, depth_loss_fn, SSI_ONLY_STEPS
+from .normal import make_normal_train_step, normal_loss_fn

@@ -1,0 +1,58 @@
+"""Depth training step — pjit data-parallel (+optional tensor-parallel) port
+of the reference's _shared_step (train_depth.py:245-287).
+
+Loss schedule (train_depth.py:274-279): SSI-only for the first 15k steps,
+then ssi + 0.1 * gradient-matching + 10 * virtual-normal. Grad-clip 10,
+Adam lr 1e-5. rgb in [-1,1]; predictions clamped to [0,1]; the valid mask is
+max-pool dilated (make_valid_mask, train_depth.py:215-242).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..data.masks import dilate_invalid
+from ..losses import VNLParams, midas_loss, virtual_normal_loss
+from .state import TrainState
+
+SSI_ONLY_STEPS = 15_000
+VNL_WEIGHT = 10.0
+REG_WEIGHT = 0.1
+
+
+def depth_loss_fn(
+    params,
+    apply_fn,
+    batch: dict,
+    step: jax.Array,
+    key: jax.Array,
+    vnl_params: VNLParams,
+):
+    """batch: rgb (B,3,H,W) in [-1,1] · depth (B,1,H,W) in [0,1] ·
+    mask_valid (B,1,H,W) bool."""
+    pred = apply_fn(params, batch["rgb"])  # (B,H,W)
+    pred = jnp.clip(pred, 0.0, 1.0)[:, None]
+    mask = dilate_invalid(batch["mask_valid"], 8)
+    total, ssi, reg = midas_loss(pred, batch["depth"], mask, alpha=REG_WEIGHT)
+    vnl = virtual_normal_loss(batch["depth"], pred, key, vnl_params)
+    loss = jnp.where(
+        step < SSI_ONLY_STEPS, ssi, ssi + REG_WEIGHT * reg + VNL_WEIGHT * vnl
+    )
+    return loss, {"loss": loss, "ssi": ssi, "reg": reg, "vnl": vnl}
+
+
+def make_depth_train_step(apply_fn, vnl_params: VNLParams):
+    """Returns train_step(state, batch, key) -> (state, metrics). jit with
+    shardings applied by the caller (see train.parallel)."""
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        grad_fn = jax.value_and_grad(depth_loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(
+            state.params, apply_fn, batch, state.step, key, vnl_params
+        )
+        return state.apply_gradients(grads), metrics
+
+    return train_step

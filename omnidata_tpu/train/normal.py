@@ -1,0 +1,36 @@
+"""Surface-normal training step (reference: train_normal.py:256-258):
+loss = masked cosine-angular + 10 * masked L1 over the dilated valid mask;
+Adam amsgrad lr 1e-4, wd 2e-6, grad-clip 10.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..data.masks import dilate_invalid
+from ..losses import masked_cosine_angular_loss, masked_l1_loss
+from .state import TrainState
+
+L1_WEIGHT = 10.0
+
+
+def normal_loss_fn(params, apply_fn, batch: dict):
+    """batch: rgb (B,3,H,W) in [0,1] · normal (B,3,H,W) in [0,1] ·
+    mask_valid (B,1,H,W) bool."""
+    pred = apply_fn(params, batch["rgb"])  # (B,3,H,W)
+    pred = jnp.clip(pred, 0.0, 1.0)
+    mask1 = dilate_invalid(batch["mask_valid"], 8)
+    mask3 = jnp.repeat(mask1, 3, axis=1)
+    cos = masked_cosine_angular_loss(pred, batch["normal"], mask3)
+    l1 = masked_l1_loss(pred, batch["normal"], mask3)
+    loss = cos + L1_WEIGHT * l1
+    return loss, {"loss": loss, "cos": cos, "l1": l1}
+
+
+def make_normal_train_step(apply_fn):
+    def train_step(state: TrainState, batch: dict):
+        grad_fn = jax.value_and_grad(normal_loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, apply_fn, batch)
+        return state.apply_gradients(grads), metrics
+
+    return train_step

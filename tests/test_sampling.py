@@ -1,0 +1,159 @@
+"""Sampling tests on a synthetic room: poisson cameras land inside with
+clearance, points get visible cameras, view dicts verify (fixation projects
+to center; golden-schema keys present), pruning reaches a fixed point."""
+import numpy as np
+import pytest
+
+from omnidata_tpu.mesh import room
+from omnidata_tpu.sampling import (
+    file_name_for,
+    find_building_floors,
+    generate_points,
+    in_frustum,
+    interpolate_trajectory,
+    line_of_sight_matrix,
+    load_point_info,
+    parse_filename,
+    poisson_disc_2d,
+    prune_points,
+    sample_camera_locations_building,
+    sample_camera_locations_object,
+    sample_fov,
+    sample_surface_points,
+    save_camera_poses,
+    save_point_info,
+)
+
+RNG = lambda s=0: np.random.RandomState(s)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return room(size=8.0, height=3.0)
+
+
+def test_poisson_disc_spacing():
+    pts = poisson_disc_2d(RNG(), np.array([0.0, 0]), np.array([10.0, 10]), 1.0)
+    assert len(pts) > 20
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    d[np.diag_indices(len(pts))] = np.inf
+    assert d.min() >= 1.0 - 1e-9
+
+
+def test_floor_detection(scene):
+    floors = find_building_floors(np.asarray(scene.vertices))
+    assert len(floors) >= 1
+    assert abs(floors[0] - 0.0) < 0.5
+
+
+def test_camera_locations_inside_room(scene):
+    locs = sample_camera_locations_building(scene, RNG(1), min_spacing=1.5)
+    assert len(locs) >= 4
+    assert (np.abs(locs[:, :2]) < 4.0).all()
+    assert (locs[:, 2] > 0).all() and (locs[:, 2] < 3.0).all()
+
+
+def test_camera_locations_object(scene):
+    locs = sample_camera_locations_object(scene, RNG(2), 16, sphere_scaling=2.0)
+    assert locs.shape == (16, 3)
+    center = np.array([0, 0, 1.5])
+    r = np.linalg.norm(locs - center, axis=1)
+    np.testing.assert_allclose(r, r[0], rtol=1e-4)
+
+
+def test_surface_points_on_mesh(scene):
+    pts, nrm, fi = sample_surface_points(scene, RNG(3), 64)
+    assert pts.shape == (64, 3)
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    # all points on the room boundary (walls/floor/ceiling)
+    on_boundary = (
+        (np.abs(np.abs(pts[:, 0]) - 4.0) < 1e-4)
+        | (np.abs(np.abs(pts[:, 1]) - 4.0) < 1e-4)
+        | (np.abs(pts[:, 2]) < 1e-4)
+        | (np.abs(pts[:, 2] - 3.0) < 1e-4)
+    )
+    assert on_boundary.all()
+
+
+def test_los_matrix_in_empty_room(scene):
+    cams = np.array([[0.0, 0, 1.5], [2.0, 2, 1.0]], np.float32)
+    pts = np.array([[3.9, 0, 1.0], [-3.9, 2.0, 2.0]], np.float32)
+    los = line_of_sight_matrix(cams, pts, scene)
+    assert los.all()  # empty room: everything visible
+
+
+def test_fov_range():
+    f = sample_fov(RNG(4), 100)
+    assert (f >= np.deg2rad(30) - 1e-9).all() and (f <= np.deg2rad(125) + 1e-9).all()
+
+
+def test_generate_points_schema_and_fixation(scene):
+    import jax.numpy as jnp
+
+    from omnidata_tpu.core import (
+        camera_from_view_dict,
+        extrinsic_RT,
+        intrinsic_matrix,
+        project,
+    )
+
+    cams = sample_camera_locations_building(scene, RNG(5), min_spacing=2.0)
+    infos = generate_points(scene, cams, RNG(6), n_points=5, min_views_per_point=2)
+    assert len(infos) >= 1
+    required = {
+        "camera_location", "camera_rotation_original", "camera_rotation_final",
+        "camera_rotation_final_quaternion", "camera_rotation_from_original_to_final",
+        "field_of_view_rads", "camera_distance", "point_location", "point_normal",
+        "obliqueness_angle", "point_pitch", "resolution",
+        "nonfixated_points_in_view", "view_id", "point_uuid", "camera_uuid",
+    }
+    for views in infos:
+        for view in views:
+            assert required <= set(view.keys())
+            cam = camera_from_view_dict(view)
+            K = intrinsic_matrix(cam.fov, cam.resolution)
+            RT = extrinsic_RT(cam.location, cam.R)
+            uv, z = project(K, RT, jnp.asarray(view["point_location"])[None])
+            c = cam.resolution / 2
+            np.testing.assert_allclose(np.asarray(uv[0]), [c, c], atol=0.5)
+            np.testing.assert_allclose(float(z[0]), view["camera_distance"], rtol=1e-4)
+
+
+def test_prune_points_fixed_point(scene):
+    cams = sample_camera_locations_building(scene, RNG(7), min_spacing=2.0)
+    infos = generate_points(scene, cams, RNG(8), n_points=6, min_views_per_point=2)
+    pruned = prune_points(infos, min_views=1, min_nonfixated=1)
+    alive = {int(v[0]["point_uuid"]) for v in pruned}
+    for views in pruned:
+        assert len(views) >= 1
+        for view in views:
+            assert set(view["nonfixated_points_in_view"]) <= alive
+
+
+def test_point_info_roundtrip(tmp_path, scene):
+    cams = sample_camera_locations_building(scene, RNG(9), min_spacing=2.5)
+    infos = generate_points(scene, cams, RNG(10), n_points=3, min_views_per_point=2)
+    save_point_info(str(tmp_path), infos)
+    save_camera_poses(str(tmp_path), cams)
+    back = load_point_info(str(tmp_path))
+    assert sum(len(v) for v in back) == sum(len(v) for v in infos)
+    assert parse_filename("point_3_view_12_domain_depth_zbuffer.png") == (
+        "3", "12", "depth_zbuffer", "png",
+    )
+    assert file_name_for("/x", 3, 12, "rgb", "png").endswith(
+        "point_3_view_12_domain_rgb.png"
+    )
+
+
+def test_trajectory_interpolation(scene):
+    cams = np.array(
+        [[3.0, 0, 1.5], [0.0, 3, 1.5], [-3.0, 0, 1.5]], np.float32
+    )
+    point = np.array([0.0, 0, 1.0], np.float32)
+    locs, Rs = interpolate_trajectory(cams, point, steps_per_meter=5.0)
+    assert len(locs) > 10 and Rs.shape == (len(locs), 3, 3)
+    # every frame fixated: -Z axis points at the target
+    fwd = point - locs
+    fwd /= np.linalg.norm(fwd, axis=1, keepdims=True)
+    minus_z = Rs @ np.array([0.0, 0, -1])
+    np.testing.assert_allclose(minus_z, fwd, atol=1e-4)
