@@ -6,9 +6,10 @@ NMS removed): integral image -> box-filter Hessian determinant
 (skimage _hessian_det_appx, the SURF approximation) at 10 sigmas
 linspace(1, 30, 10) -> max over scales -> 16-bit.
 
-TPU-first: the box sums are O(1) gathers on the integral image with
-*static* offsets per sigma, batched over all pixels — 10 fused gather
-passes per image, no data-dependent work.
+TPU-first: every box sum is four *static* shifted slices of a padded integral
+image (top/left zero-padded for the out-of-range -> 0 convention, bottom/right
+edge-padded for index clipping) — no gathers anywhere, so the whole 10-scale
+stack compiles to fused shift/add VPU passes.
 """
 from __future__ import annotations
 
@@ -18,54 +19,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_PAD = 128  # covers offsets for sigma <= 30 (size = 90, offsets < 92)
+
 
 def integral_image(img: jax.Array) -> jax.Array:
     return jnp.cumsum(jnp.cumsum(img, 0), 1)
 
 
-def _box_sum(ii: jax.Array, r0, c0, rl, cl) -> jax.Array:
-    """Sum of img[r0:r0+rl, c0:c0+cl] for every pixel offset, via the integral
-    image with clipped indices (matches skimage _integ's clipping).
+def _pad_integral(ii: jax.Array) -> jax.Array:
+    """Zero-pad top/left (indices < 0 contribute 0), edge-pad bottom/right
+    (indices clipped to the last row/col)."""
+    x = jnp.pad(ii, ((0, _PAD), (0, _PAD)), mode="edge")
+    return jnp.pad(x, ((_PAD, 0), (_PAD, 0)), mode="constant")
 
-    r0/c0 are *relative* offsets from each output pixel; returns (H,W)."""
-    H, W = ii.shape
-    rows = jnp.arange(H)[:, None]
-    cols = jnp.arange(W)[None, :]
+
+def _box_sum(padded: jax.Array, H: int, W: int, r0: int, c0: int, rl: int, cl: int):
+    """Sum of img[p+r0 : p+r0+rl, q+c0 : q+c0+cl] for every pixel (p,q)."""
 
     def at(dr, dc):
-        r = jnp.clip(rows + dr, -1, H - 1)
-        c = jnp.clip(cols + dc, -1, W - 1)
-        val = ii[jnp.maximum(r, 0), jnp.maximum(c, 0)]
-        return jnp.where((r < 0) | (c < 0), 0.0, val)
+        return jax.lax.dynamic_slice(padded, (_PAD + dr, _PAD + dc), (H, W))
 
     r1, c1 = r0 - 1, c0 - 1
     r2, c2 = r0 + rl - 1, c0 + cl - 1
     return at(r2, c2) - at(r1, c2) - at(r2, c1) + at(r1, c1)
 
 
-def hessian_det_appx(ii: jax.Array, sigma: float) -> jax.Array:
-    """SURF box-filter Hessian determinant at one scale, from the integral
-    image (skimage.feature._hessian_det_appx semantics)."""
+def hessian_det_appx(padded: jax.Array, H: int, W: int, sigma: float) -> jax.Array:
+    """SURF box-filter Hessian determinant at one scale
+    (skimage.feature._hessian_det_appx semantics)."""
     size = int(3 * sigma)
     s2 = (size - 1) // 2
     s3 = size // 3
     w = size
     w_i = 1.0 / (size * size)
 
+    box = lambda r0, c0, rl, cl: _box_sum(padded, H, W, r0, c0, rl, cl)
+
     # Dxy: four s3 x s3 corner boxes
-    tl = _box_sum(ii, -s3, -s3, s3, s3)
-    br = _box_sum(ii, 1, 1, s3, s3)
-    bl = _box_sum(ii, 1, -s3, s3, s3)
-    tr = _box_sum(ii, -s3, 1, s3, s3)
+    tl = box(-s3, -s3, s3, s3)
+    br = box(1, 1, s3, s3)
+    bl = box(1, -s3, s3, s3)
+    tr = box(-s3, 1, s3, s3)
     dxy = -(bl + tr - tl - br) * w_i
 
     # Dxx: wide middle band minus 3x the central lobe
-    mid = _box_sum(ii, -s3 + 1, -s2, 2 * s3 - 1, w)
-    side = _box_sum(ii, -s3 + 1, -(s3 // 2), 2 * s3 - 1, s3)
+    mid = box(-s3 + 1, -s2, 2 * s3 - 1, w)
+    side = box(-s3 + 1, -(s3 // 2), 2 * s3 - 1, s3)
     dxx = -(mid - 3.0 * side) * w_i
 
-    mid = _box_sum(ii, -s2, -s3 + 1, w, 2 * s3 - 1)
-    side = _box_sum(ii, -(s3 // 2), -s3 + 1, s3, 2 * s3 - 1)
+    mid = box(-s2, -s3 + 1, w, 2 * s3 - 1)
+    side = box(-(s3 // 2), -s3 + 1, s3, 2 * s3 - 1)
     dyy = -(mid - 3.0 * side) * w_i
 
     return dxx * dyy - 0.81 * (dxy * dxy)
@@ -79,7 +82,8 @@ def keypoints2d(
     num_sigma: int = 10,
 ) -> jax.Array:
     """DoH interest image in [0,1]-ish float from grayscale [0,1] (H,W)."""
-    ii = integral_image(gray.astype(jnp.float32))
+    H, W = gray.shape
+    padded = _pad_integral(integral_image(gray.astype(jnp.float32)))
     sigmas = np.linspace(min_sigma, max_sigma, num_sigma)
-    resp = jnp.stack([hessian_det_appx(ii, float(s)) for s in sigmas], 0)
+    resp = jnp.stack([hessian_det_appx(padded, H, W, float(s)) for s in sigmas], 0)
     return jnp.max(resp, 0)

@@ -1,0 +1,171 @@
+"""Filesystem dataset over annotator outputs — the bpv-index design of the
+reference's loaders (data/omnidata_dataset.py:86-637 and the newer
+dataloader/omnidata_dataset.py:59-665), host-side and framework-agnostic
+(yields numpy; feed to jax.device_put / sharded batches).
+
+Layout: <root>/<building>/<task>/point_{p}_view_{v}_domain_{task}.png
+(a single-building root without the extra level also works).
+
+Key behaviors kept from the reference:
+- index = (building, point, view) tuples kept only when ALL requested tasks
+  exist (omnidata_dataset.py:270-342), with a pickle cache (:136-207)
+- per-task resize (bilinear rgb / nearest else) + center crop; optional
+  joint horizontal flip that also flips the normal X channel
+  (res[0] = 1 - res[0], :411-414)
+- multiview: FILENAME sampler — positives are other views of the same
+  (building, point) (dataloader/omnidata_dataset.py:698-743)
+- point_info JSONs load with camera pose fields for pose-aware training
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .transforms import default_loader, get_transform
+
+_FN = re.compile(r"point_(\w+)_view_(\w+)_domain_(\w+)\.(\w+)$")
+
+
+@dataclass
+class Options:
+    data_path: str = ""
+    tasks: tuple = ("rgb", "normal")
+    image_size: int | None = None
+    split: str = "train"
+    num_positive: int = 1  # views per sample (multiview if > 1)
+    random_flip: bool = True
+    random_crop: bool = False
+    cache_dir: str | None = None
+    seed: int = 0
+
+
+class OmnidataDataset:
+    def __init__(self, options: Options):
+        self.o = options
+        self.transforms = {
+            t: get_transform(t, options.image_size) for t in options.tasks
+        }
+        self.index = self._build_index()
+        self.rng = np.random.RandomState(options.seed)
+
+    # ---- index ------------------------------------------------------------
+    def _buildings(self):
+        root = self.o.data_path
+        subs = [
+            d for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d))
+        ]
+        if any(t in subs for t in self.o.tasks):
+            return [("", root)]  # single-building layout
+        return [(d, os.path.join(root, d)) for d in subs]
+
+    def _build_index(self):
+        cache = None
+        if self.o.cache_dir:
+            os.makedirs(self.o.cache_dir, exist_ok=True)
+            key = f"{abs(hash((self.o.data_path, self.o.tasks, self.o.split)))}.pkl"
+            cache = os.path.join(self.o.cache_dir, key)
+            if os.path.exists(cache):
+                with open(cache, "rb") as fh:
+                    return pickle.load(fh)
+
+        index = []  # (building, point, view) with paths per task
+        for bname, bpath in self._buildings():
+            per_task: dict = {}
+            for task in self.o.tasks:
+                tdir = os.path.join(bpath, task)
+                if not os.path.isdir(tdir):
+                    per_task = {}
+                    break
+                for fn in os.listdir(tdir):
+                    m = _FN.match(fn)
+                    if not m or m.group(3) != ("fixatedpose" if task == "point_info" else task):
+                        continue
+                    per_task.setdefault((m.group(1), m.group(2)), {})[task] = (
+                        os.path.join(tdir, fn)
+                    )
+            for (p, v), paths in sorted(per_task.items()):
+                if len(paths) == len(self.o.tasks):  # complete bpv only
+                    index.append((bname, p, v, paths))
+
+        if cache:
+            with open(cache, "wb") as fh:
+                pickle.dump(index, fh)
+        return index
+
+    # ---- sampling ---------------------------------------------------------
+    def __len__(self):
+        return len(self.index)
+
+    def _views_of_point(self, building: str, point: str):
+        return [
+            i for i, (b, p, _, _) in enumerate(self.index)
+            if b == building and p == point
+        ]
+
+    def _load_one(self, entry):
+        building, point, view, paths = entry
+        out = {"building": building, "point": point, "view": view}
+        flip = self.o.random_flip and self.rng.rand() < 0.5
+        for task in self.o.tasks:
+            data = default_loader(paths[task])
+            tr = self.transforms[task]
+            arr = tr(data) if tr is not None else data
+            if isinstance(arr, np.ndarray) and flip and arr.ndim == 3:
+                arr = arr[..., ::-1].copy()
+                if task == "normal":
+                    arr[0] = 1.0 - arr[0]  # X flips under mirror
+            out[task] = arr
+        return out
+
+    def __getitem__(self, i: int):
+        entry = self.index[i]
+        if self.o.num_positive <= 1:
+            return self._load_one(entry)
+        # FILENAME multiview: other views of the same (building, point)
+        building, point, _, _ = entry
+        candidates = self._views_of_point(building, point)
+        picks = [i]
+        others = [c for c in candidates if c != i]
+        self.rng.shuffle(others)
+        picks += others[: self.o.num_positive - 1]
+        while len(picks) < self.o.num_positive:  # backoff: repeat (SAME)
+            picks.append(picks[-1])
+        samples = [self._load_one(self.index[j]) for j in picks]
+        out = {"building": building, "point": point}
+        for task in self.o.tasks:
+            vals = [s[task] for s in samples]
+            out[task] = (
+                np.stack(vals) if isinstance(vals[0], np.ndarray) else vals
+            )
+        return out
+
+    def batches(self, batch_size: int, shuffle: bool = True):
+        """Yield stacked numpy batches (the host loader feeding device_put)."""
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(i)] for i in order[s : s + batch_size]]
+            batch = {}
+            for k in items[0]:
+                v0 = items[0][k]
+                if isinstance(v0, np.ndarray):
+                    batch[k] = np.stack([it[k] for it in items])
+                else:
+                    batch[k] = [it[k] for it in items]
+            yield batch
+
+
+def component_weighted_indices(datasets: list, n: int, rng) -> list:
+    """Equal-component sampling (train_normal.py:140-156 WeightedRandomSampler):
+    draw n (dataset_idx, item_idx) pairs, each component equally likely."""
+    out = []
+    for _ in range(n):
+        d = rng.randint(len(datasets))
+        out.append((d, rng.randint(len(datasets[d]))))
+    return out

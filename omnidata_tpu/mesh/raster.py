@@ -4,12 +4,24 @@ geometric label the reference needs four separate Blender renders for
 (fragments), barycentrics and the valid mask — normals/colors/labels are
 gathered from the fragments afterwards (shade.py).
 
-Two-level structure (the XLA path; a Pallas kernel shares the same binning):
+Two-level structure:
 1. **Bin**: project all triangles, compute conservative screen bboxes, build a
    fixed-capacity per-tile triangle list (``jnp.nonzero(size=cap)``).
-2. **Rasterize**: for each image tile, scan its triangle list in chunks and
-   Möller–Trumbore the tile's pixel rays against each chunk, keeping the
-   closest hit. All shapes static; padding triangles are degenerate.
+2. **Rasterize**: per tile, scan the (pre-gathered) triangle list in chunks
+   and intersect against the tile's pixel rays, carrying only the closest
+   (t, face) per pixel; barycentrics are recomputed once at the end for the
+   winning triangle.
+
+TPU-first layout decisions (these are the difference between ~60 GFLOP/s and
+VPU-saturating throughput):
+- SoA everywhere: xyz components are separate (tiles, chunk) planes, so every
+  elementwise op runs on full 128-wide lanes (an (...,3) trailing axis wastes
+  125 of 128 lanes).
+- triangle data is gathered from HBM once per view into (tiles, cap) planes;
+  the chunk loop only slices (fast) — no gathers in the hot loop.
+- the hot loop's only materialized arrays are (tiles, pixels) carries; the
+  (tiles, pixels, chunk) intermediates exist solely inside fused
+  multiply-add + min/argmin reduction kernels.
 """
 from __future__ import annotations
 
@@ -21,10 +33,11 @@ import jax.numpy as jnp
 
 from ..core.cameras import Camera, camera_rays, extrinsic_RT, intrinsic_matrix
 from .mesh import TriangleMesh
-from .raycast import _intersect_chunk
 
 _BIG = 1e30
 _NEAR = 1e-4
+_EPS = 1e-7
+_EDGE_EPS = 1e-5
 
 
 class Fragments(NamedTuple):
@@ -42,17 +55,28 @@ class Fragments(NamedTuple):
     valid: jax.Array
 
 
+def _project_all(K, RT, pts):
+    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+    cam = jnp.einsum("ij,nj->ni", RT, jnp.concatenate([pts, ones], -1),
+                     precision="highest")
+    zc = cam[:, 2]
+    safe_z = jnp.where(jnp.abs(zc) < _NEAR, _NEAR, zc)
+    uvw = jnp.einsum("ij,nj->ni", K, cam, precision="highest")
+    uv = uvw[:, :2] / safe_z[:, None]
+    return uv, zc
+
+
 def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     """Per-tile triangle lists (T, cap) + per-tile candidate counts (T,).
 
     Conservative: triangles with any vertex behind the near plane are binned
-    to every tile (they're rare interior cases; correctness over speed)."""
+    to every tile (rare interior cases; correctness over speed)."""
     res = camera.resolution
     n_tiles_1d = res // tile
     T = n_tiles_1d * n_tiles_1d
     K = intrinsic_matrix(camera.fov, res)
     RT = extrinsic_RT(camera.location, camera.R)
-    uv, z = (lambda r: (r[0], r[1]))(_project_all(K, RT, mesh.vertices))  # (V,2),(V,)
+    uv, z = _project_all(K, RT, mesh.vertices)
 
     tri_uv = uv[mesh.faces]  # (F,3,2)
     tri_z = z[mesh.faces]  # (F,3)
@@ -80,15 +104,17 @@ def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     return tile_tris, counts
 
 
-def _project_all(K, RT, pts):
-    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
-    cam = jnp.einsum("ij,nj->ni", RT, jnp.concatenate([pts, ones], -1),
-                     precision="highest")
-    zc = cam[:, 2]
-    safe_z = jnp.where(jnp.abs(zc) < _NEAR, _NEAR, zc)
-    uvw = jnp.einsum("ij,nj->ni", K, cam, precision="highest")
-    uv = uvw[:, :2] / safe_z[:, None]
-    return uv, zc
+def _tri_soa(mesh: TriangleMesh):
+    """9 (F,) planes: v0.xyz, e1.xyz, e2.xyz."""
+    tris = mesh.vertices[mesh.faces]  # (F,3,3)
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    return (
+        v0[:, 0], v0[:, 1], v0[:, 2],
+        e1[:, 0], e1[:, 1], e1[:, 2],
+        e2[:, 0], e2[:, 1], e2[:, 2],
+    )
 
 
 @partial(jax.jit, static_argnames=("tile", "cap", "chunk", "parallel_tiles"))
@@ -98,21 +124,19 @@ def render_view(
     tile: int = 64,
     cap: int = 2048,
     chunk: int = 128,
-    parallel_tiles: bool = False,
+    parallel_tiles: bool = True,
 ) -> Fragments:
     """Render one camera view to Fragments. resolution must be divisible by
-    ``tile``; cap bounds triangles per tile (overflow drops farthest-binned —
-    raise cap for dense meshes; see bin_triangles counts).
-
-    parallel_tiles=True vmaps the per-tile rasterization (all tiles in
-    flight — higher peak memory, much better TPU utilization); False runs
-    tiles sequentially under lax.map (CPU-friendly)."""
+    ``tile``; cap bounds triangles per tile (overflow drops extra candidates —
+    raise cap for dense meshes; see bin_triangles counts). parallel_tiles is
+    accepted for API stability (the SoA kernel always runs tiles in parallel)."""
+    del parallel_tiles
     res = camera.resolution
     n1d = res // tile
     T = n1d * n1d
     P = tile * tile
 
-    tile_tris, _ = bin_triangles(camera, mesh, tile, cap)
+    tile_tris, _ = bin_triangles(camera, mesh, tile, cap)  # (T,cap)
 
     origin, dirs = camera_rays(camera)  # (3,), (H,W,3)
     tile_dirs = (
@@ -120,44 +144,78 @@ def render_view(
         .transpose(0, 2, 1, 3, 4)
         .reshape(T, P, 3)
     )
+    dx, dy, dz = tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2]  # (T,P)
+    ox, oy, oz = origin[0], origin[1], origin[2]
 
-    tris = mesh.vertices[mesh.faces]
-    V0 = tris[:, 0]
-    E1 = tris[:, 1] - tris[:, 0]
-    E2 = tris[:, 2] - tris[:, 0]
+    soa = _tri_soa(mesh)
+    # One gather per view: (T, cap) planes; the chunk loop only slices.
+    g = [a[tile_tris] for a in soa]
 
     n_chunks = cap // chunk
-    origins = jnp.broadcast_to(origin, (P, 3))
 
-    def raster_tile(args):
-        t_dirs, t_idx = args  # (P,3), (cap,)
+    def body(carry, ci):
+        best_t, best_j = carry  # (T,P), (T,P) int32 (index into cap)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk, axis=1)
+        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (sl(a) for a in g)  # (T,C)
 
-        def body(carry, ci):
-            best_t, best_f, best_uv = carry
-            idx = jax.lax.dynamic_slice_in_dim(t_idx, ci * chunk, chunk)
-            t, u, v, hit = _intersect_chunk(
-                origins, t_dirs, V0[idx], E1[idx], E2[idx]
-            )
-            t = jnp.where(hit, t, _BIG)
-            j = jnp.argmin(t, -1)
-            tj = jnp.take_along_axis(t, j[:, None], -1)[:, 0]
-            closer = tj < best_t
-            fj = idx[j]
-            best_f = jnp.where(closer, fj, best_f)
-            uj = jnp.take_along_axis(u, j[:, None], -1)[:, 0]
-            vj = jnp.take_along_axis(v, j[:, None], -1)[:, 0]
-            best_uv = jnp.where(closer[:, None], jnp.stack([uj, vj], -1), best_uv)
-            best_t = jnp.minimum(best_t, tj)
-            return (best_t, best_f, best_uv), None
+        # Möller–Trumbore, SoA. Ray-independent (T,1,C) planes:
+        tvx = (ox - v0x)[:, None, :]
+        tvy = (oy - v0y)[:, None, :]
+        tvz = (oz - v0z)[:, None, :]
+        # qvec = cross(tvec, e1): ray-independent
+        qx = tvy * e1z[:, None] - tvz * e1y[:, None]
+        qy = tvz * e1x[:, None] - tvx * e1z[:, None]
+        qz = tvx * e1y[:, None] - tvy * e1x[:, None]
+        e2q = e2x[:, None] * qx + e2y[:, None] * qy + e2z[:, None] * qz  # (T,1,C)
 
-        init = (jnp.full((P,), _BIG), jnp.full((P,), -1, jnp.int32), jnp.zeros((P, 2)))
-        (t, f, uv), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-        return t, f, uv
+        # pvec = cross(d, e2): (T,P,C) inside the fused kernel
+        Dx, Dy, Dz = dx[:, :, None], dy[:, :, None], dz[:, :, None]
+        px = Dy * e2z[:, None] - Dz * e2y[:, None]
+        py = Dz * e2x[:, None] - Dx * e2z[:, None]
+        pz = Dx * e2y[:, None] - Dy * e2x[:, None]
+        det = e1x[:, None] * px + e1y[:, None] * py + e1z[:, None] * pz
+        inv = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+        u = (tvx * px + tvy * py + tvz * pz) * inv
+        v = (Dx * qx + Dy * qy + Dz * qz) * inv
+        t = e2q * inv
+        hit = (
+            (jnp.abs(det) >= _EPS)
+            & (u >= -_EDGE_EPS)
+            & (v >= -_EDGE_EPS)
+            & (u + v <= 1.0 + _EDGE_EPS)
+            & (t > _EPS)
+        )
+        t = jnp.where(hit, t, _BIG)  # (T,P,C)
+        j = jnp.argmin(t, -1)  # (T,P)
+        tj = jnp.min(t, -1)  # (T,P)
+        closer = tj < best_t
+        best_j = jnp.where(closer, ci * chunk + j, best_j)
+        best_t = jnp.minimum(best_t, tj)
+        return (best_t, best_j), None
 
-    if parallel_tiles:
-        t, f, uv = jax.vmap(lambda d, i: raster_tile((d, i)))(tile_dirs, tile_tris)
-    else:
-        t, f, uv = jax.lax.map(raster_tile, (tile_dirs, tile_tris))  # (T,P)x2,(T,P,2)
+    init = (jnp.full((T, P), _BIG), jnp.zeros((T, P), jnp.int32))
+    (t, jbest), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    valid = t < _BIG
+
+    # winning face ids + one-shot barycentric recompute for the winners
+    f = jnp.take_along_axis(tile_tris, jbest.reshape(T, P), axis=1)  # (T,P)
+    f = jnp.where(valid, f, -1)
+
+    fi = jnp.maximum(f, 0)
+    w = [a[fi] for a in soa]  # (T,P) planes for the winning triangle
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = w
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    uv = jnp.stack([u, v], -1)  # (T,P,2)
 
     def untile(x):
         shp = x.shape[2:]
@@ -170,19 +228,23 @@ def render_view(
     t_img = untile(t)
     f_img = untile(f)
     uv_img = untile(uv)
+    valid_img = untile(valid)
 
     forward = camera.R @ jnp.asarray([0.0, 0.0, -1.0])
     cosang = jnp.einsum("hwc,c->hw", dirs, forward, precision="highest")
-    valid = f_img >= 0
-    z_img = jnp.where(valid, t_img * cosang, _BIG)
+    z_img = jnp.where(valid_img, t_img * cosang, _BIG)
     return Fragments(
-        t=jnp.where(valid, t_img, _BIG), z=z_img, face=f_img, bary=uv_img, valid=valid
+        t=jnp.where(valid_img, t_img, _BIG),
+        z=z_img,
+        face=f_img,
+        bary=uv_img,
+        valid=valid_img,
     )
 
 
 def render_views(cameras: Camera, mesh: TriangleMesh, tile: int = 64,
                  cap: int = 2048, chunk: int = 128,
-                 parallel_tiles: bool = False) -> Fragments:
+                 parallel_tiles: bool = True) -> Fragments:
     """vmap of render_view over a leading camera batch dimension."""
     return jax.vmap(
         lambda loc, R, fov: render_view(

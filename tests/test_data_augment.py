@@ -1,0 +1,267 @@
+"""Tests for the data layer (transforms, dataset index, download tooling,
+masks) and augmentations (refocus physics, rgb aug cascade, resize/crop)."""
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnidata_tpu.augment import (
+    augment_rgb,
+    compute_quantile_membership,
+    compute_quantiles,
+    refocus_augmentation,
+    refocus_image,
+    resize_crop,
+    separable_gaussian,
+)
+from omnidata_tpu.data.dataset import OmnidataDataset, Options
+from omnidata_tpu.data.download import (
+    OmnidataMetadata,
+    TaskonomyMetadata,
+    ZippedModel,
+    filter_models,
+    md5sum,
+    process_model,
+)
+from omnidata_tpu.data.masks import build_mask, dilate_invalid
+from omnidata_tpu.data.transforms import default_loader, get_transform
+
+
+# ---------------- transforms ----------------
+
+def test_transform_16bit(tmp_path):
+    from PIL import Image
+
+    arr = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1000)
+    p = str(tmp_path / "d.png")
+    Image.fromarray(arr, mode="I;16").save(p)
+    img = default_loader(p)
+    out = get_transform("depth_euclidean")(img)
+    assert out.shape == (1, 8, 8)
+    # 16-bit scale then clamp_to (0, 8000/65535) rescale -> 1000/8000
+    np.testing.assert_allclose(out[0, 0, 1], 1000 / 8000, atol=1e-6)
+    out2 = get_transform("keypoints2d")(img)
+    np.testing.assert_allclose(out2[0, 0, 1], 1000 / 65535, atol=1e-6)
+
+
+def test_transform_clamp_edge_texture():
+    arr = np.full((4, 4), 65535, np.uint16)
+    out = get_transform("edge_texture")(arr)
+    # 1.0 clamped to 0.25 then rescaled -> 1.0
+    np.testing.assert_allclose(out, 1.0)
+
+
+def test_transform_curvature_crops_channels():
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    out = get_transform("principal_curvature")(rgb)
+    assert out.shape == (2, 4, 4)
+
+
+def test_masks():
+    t = jnp.ones((1, 1, 8, 8))
+    t = t.at[0, 0, 4, 4].set(0.0)
+    m = build_mask(t, val=0.0, max_pool_size=3)
+    assert not bool(m[0, 0, 4, 4])
+    assert not bool(m[0, 0, 3, 4])  # dilated
+    assert bool(m[0, 0, 0, 0])
+    m2 = dilate_invalid(jnp.asarray(m), 3)
+    assert int((~m2).sum()) > int((~m).sum())
+
+
+# ---------------- dataset ----------------
+
+@pytest.fixture()
+def fake_dataset_root(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "building1"
+    for task, dtype in [("rgb", np.uint8), ("normal", np.uint8), ("depth_zbuffer", np.uint16)]:
+        d = root / task
+        d.mkdir(parents=True)
+        for p in range(2):
+            for v in range(3):
+                if task == "depth_zbuffer":
+                    arr = rng.randint(0, 65535, (16, 16)).astype(np.uint16)
+                    img = Image.fromarray(arr, mode="I;16")
+                else:
+                    img = Image.fromarray(
+                        rng.randint(0, 255, (16, 16, 3), np.uint8)
+                    )
+                img.save(d / f"point_{p}_view_{v}_domain_{task}.png")
+    # an incomplete bpv (missing depth) must be excluded
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        root / "rgb" / "point_9_view_0_domain_rgb.png"
+    )
+    return tmp_path
+
+
+def test_dataset_index_and_getitem(fake_dataset_root):
+    ds = OmnidataDataset(
+        Options(
+            data_path=str(fake_dataset_root),
+            tasks=("rgb", "normal", "depth_zbuffer"),
+            random_flip=False,
+        )
+    )
+    assert len(ds) == 6  # 2 points x 3 views, incomplete bpv dropped
+    s = ds[0]
+    assert s["rgb"].shape == (3, 16, 16)
+    assert s["depth_zbuffer"].shape == (1, 16, 16)
+
+
+def test_dataset_multiview(fake_dataset_root):
+    ds = OmnidataDataset(
+        Options(
+            data_path=str(fake_dataset_root),
+            tasks=("rgb",),
+            num_positive=2,
+            random_flip=False,
+        )
+    )
+    s = ds[0]
+    assert s["rgb"].shape == (2, 3, 16, 16)
+
+
+def test_dataset_flip_normal_x(fake_dataset_root):
+    o = Options(
+        data_path=str(fake_dataset_root), tasks=("normal",), random_flip=True, seed=3
+    )
+    ds = OmnidataDataset(o)
+    ds.rng = np.random.RandomState(100)  # force flip draw deterministic
+    # draw until we see a flip and verify x-channel inversion
+    raw = OmnidataDataset(
+        Options(data_path=str(fake_dataset_root), tasks=("normal",), random_flip=False)
+    )[0]["normal"]
+    for _ in range(20):
+        s = ds[0]["normal"]
+        if not np.allclose(s, raw):
+            np.testing.assert_allclose(s, np.concatenate(
+                [1.0 - raw[:1, :, ::-1], raw[1:, :, ::-1]]), atol=1e-6)
+            return
+    pytest.fail("flip never triggered")
+
+
+def test_dataset_batches(fake_dataset_root):
+    ds = OmnidataDataset(
+        Options(data_path=str(fake_dataset_root), tasks=("rgb",), random_flip=False)
+    )
+    batches = list(ds.batches(2, shuffle=False))
+    assert len(batches) == 3
+    assert batches[0]["rgb"].shape == (2, 3, 16, 16)
+
+
+# ---------------- download ----------------
+
+def test_url_parsers():
+    om = OmnidataMetadata("https://x.test/omnidata/", ".tar")
+    m = om.parse("https://x.test/omnidata/omnidata_tars/depth_euclidean/blendedMVS/depth_euclidean-blendedMVS-000000.tar")
+    assert (m.component_name, m.domain, m.model_name) == (
+        "blendedMVS", "depth_euclidean", "000000",
+    )
+    with pytest.raises(ValueError):
+        om.parse("https://x.test/omnidata/omnidata_tars/depth/blendedMVS/normal-blendedMVS-0.tar")
+
+    tk = TaskonomyMetadata("https://x.test/taskonomy/")
+    m2 = tk.parse("https://x.test/taskonomy/adairsville_class_object.tar")
+    assert (m2.component_name, m2.model_name, m2.domain) == (
+        "taskonomy", "adairsville", "class_object",
+    )
+
+
+def test_filter_models_and_striping():
+    models = [
+        ZippedModel("replica", "rgb", f"m{i}", f"u{i}") for i in range(10)
+    ] + [ZippedModel("taskonomy", "normal", "t0", "u")]
+    f = filter_models(models, ["rgb"], "all", "all", ["replica"])
+    assert len(f) == 10
+    assert len(f[1::3]) == 3  # striping slice semantics
+
+
+def test_process_model_roundtrip(tmp_path):
+    # build a local tar with the expected domain/component/model structure
+    src = tmp_path / "stage" / "rgb" / "replica" / "frl0"
+    src.mkdir(parents=True)
+    (src / "point_0_view_0_domain_rgb.png").write_bytes(b"fakepng")
+    tar_path = tmp_path / "rgb__replica__frl0.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        tf.add(tmp_path / "stage" / "rgb", arcname="rgb")
+
+    model = ZippedModel(
+        "replica", "rgb", "frl0", f"file://{tar_path}",
+        checksum=md5sum(str(tar_path)),
+    )
+    dest = tmp_path / "out"
+    dest_c = tmp_path / "tars"
+    dest.mkdir(), dest_c.mkdir()
+    ok = process_model(model, str(dest), str(dest_c))
+    assert ok
+    extracted = dest / "rgb" / "replica" / "frl0" / "point_0_view_0_domain_rgb.png"
+    assert extracted.exists()
+    # idempotent skip
+    assert process_model(model, str(dest), str(dest_c))
+    # checksum failure path
+    bad = ZippedModel("replica", "rgb", "frl1", f"file://{tar_path}", checksum="0" * 32)
+    errors = []
+    assert not process_model(bad, str(dest), str(dest_c), max_tries=1, errors=errors)
+    assert errors
+
+
+# ---------------- augment ----------------
+
+def test_separable_gaussian_identity_and_blur():
+    img = jnp.zeros((1, 1, 31, 31)).at[0, 0, 15, 15].set(1.0)
+    out_id = separable_gaussian(img, jnp.asarray(0.0), max_cutoff=11)
+    np.testing.assert_allclose(out_id, img, atol=1e-6)
+    out = separable_gaussian(img, jnp.asarray(2.0), max_cutoff=21)
+    assert float(out[0, 0, 15, 15]) < 1.0
+    np.testing.assert_allclose(float(out.sum()), 1.0, atol=1e-5)
+
+
+def test_quantile_membership():
+    depth = jnp.linspace(1.0, 2.0, 16).reshape(1, 1, 4, 4)
+    qv = compute_quantiles(depth, 4)
+    dl, dr, il, ir = compute_quantile_membership(depth, qv)
+    assert (np.asarray(il) >= 0).all() and (np.asarray(ir) <= 4).all()
+    np.testing.assert_allclose(np.asarray(dl) + np.asarray(dr), 1.0, atol=1e-5)
+
+
+def test_refocus_keeps_focus_plane_sharp():
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    # two-plane depth: near half at 1m, far half at 10m
+    depth = jnp.concatenate(
+        [jnp.full((1, 1, 32, 16), 1.0), jnp.full((1, 1, 32, 16), 10.0)], -1
+    )
+    qv = compute_quantiles(depth, 4)
+    focus = jnp.full((1, 1), 1.0)
+    aperture = jnp.full((1, 1), 3.0)
+    out = refocus_image(rgb, depth, focus, aperture, qv, max_cutoff=31)
+    assert out.shape == rgb.shape
+    near_err = float(jnp.abs(out[..., :, :14] - rgb[..., :, :14]).mean())
+    far_err = float(jnp.abs(out[..., :, 18:] - rgb[..., :, 18:]).mean())
+    assert near_err < 0.02  # in-focus plane nearly unchanged
+    assert far_err > near_err * 2  # defocused plane visibly blurred
+
+
+def test_refocus_augmentation_runs():
+    rgb = jnp.ones((2, 3, 16, 16)) * 0.5
+    depth = jnp.ones((2, 1, 16, 16)) + jnp.linspace(0, 1, 16)[None, None, None]
+    out = refocus_augmentation(rgb, depth, jax.random.PRNGKey(0), n_quantiles=4,
+                               max_cutoff=15)
+    assert out.shape == rgb.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_augment_rgb_and_resize_crop():
+    rgb = jnp.asarray(np.random.RandomState(1).rand(2, 3, 32, 32), jnp.float32)
+    out = augment_rgb(rgb, jax.random.PRNGKey(0))
+    assert out.shape == rgb.shape and float(out.min()) >= 0
+    batch = {"rgb": rgb, "depth": jnp.ones((2, 1, 32, 32))}
+    small = resize_crop(batch, jax.random.PRNGKey(1), 16)
+    assert small["rgb"].shape == (2, 3, 16, 16)
+    big = resize_crop(batch, jax.random.PRNGKey(2), 64)
+    assert big["depth"].shape == (2, 1, 64, 64)
