@@ -1,0 +1,238 @@
+"""omnidata-annotate — the end-to-end annotator CLI.
+
+Parity with the reference entry point (omnidata_annotator/omnidata-annotate.sh:
+``--model_path=... --task=... with KEY=VAL ...``; task ``all`` fans out), but
+one process and one device pipeline instead of 20 job scripts each booting a
+fresh Blender (jobs/run_single_job.sh:11-75).
+
+    python -m omnidata_tpu.annotator.cli --model_path /path/to/mesh_dir \
+        --task all with NUM_POINTS=12 RESOLUTION=512
+
+The mesh is <model_path>/mesh.ply or mesh.obj. Outputs land in
+<model_path>/<task>/point_{p}_view_{v}_domain_{task}.png plus
+point_info/*.json + camera_poses.json — the reference's exact layout, so its
+dataloaders (and ours) read the result directly.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+TASKS_ALL = [
+    "points",
+    "rgb",
+    "normal",
+    "depth_zbuffer",
+    "depth_euclidean",
+    "mask_valid",
+    "reshading",
+    "principal_curvature",
+    "edge_texture",
+    "edge_occlusion",
+    "keypoints2d",
+    "segment_unsup2d",
+    "segment_unsup25d",
+    "vanishing_points",
+]
+
+DEVICE_TASKS = {
+    "rgb", "normal", "depth_zbuffer", "depth_euclidean", "mask_valid",
+    "reshading", "principal_curvature", "edge_texture", "edge_occlusion",
+    "keypoints2d",
+}
+
+
+def find_mesh(model_path: str):
+    from ..mesh import load_obj, load_ply
+
+    for name, loader in (("mesh.ply", load_ply), ("mesh.obj", load_obj),
+                         ("mesh_semantic.ply", load_ply)):
+        p = os.path.join(model_path, name)
+        if os.path.exists(p):
+            return loader(p)
+    raise FileNotFoundError(f"no mesh.ply/mesh.obj under {model_path}")
+
+
+def run_points(model_path: str, settings) -> None:
+    from ..sampling import (
+        generate_points,
+        prune_points,
+        sample_camera_locations_building,
+        sample_camera_locations_object,
+        save_camera_poses,
+        save_point_info,
+    )
+
+    mesh = find_mesh(model_path)
+    rng = np.random.RandomState(settings.RANDOM_SEED)
+    if settings.SCENE:
+        cams = sample_camera_locations_building(
+            mesh, rng,
+            min_spacing=settings.MIN_CAMERA_SPACING,
+            min_clearance=settings.MIN_CAMERA_DISTANCE_TO_MESH,
+        )
+    else:
+        cams = sample_camera_locations_object(mesh, rng, max(settings.NUM_POINTS, 16),
+                                              settings.SPHERE_SCALING_FACTOR)
+    if len(cams) == 0:
+        raise RuntimeError("no viable camera locations found")
+    infos = generate_points(
+        mesh, cams, rng,
+        n_points=settings.NUM_POINTS,
+        min_views_per_point=settings.MIN_VIEWS_PER_POINT,
+        max_views_per_point=settings.MAX_VIEWS_PER_POINT,
+        resolution=settings.RESOLUTION,
+    )
+    infos = prune_points(infos)
+    save_point_info(model_path, infos)
+    save_camera_poses(model_path, cams)
+    n_views = sum(len(v) for v in infos)
+    print(f"[points] {len(infos)} points, {n_views} views -> {model_path}/point_info")
+
+
+def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
+    import jax.numpy as jnp
+
+    from ..core.cameras import camera_from_view_dict
+    from ..cues.curvature import bake_curvature_colors
+    from ..cues.encode import save_png
+    from ..sampling import file_name_for, load_point_info
+    from ..utils.profiler import Profiler
+    from .pipeline import annotate_view
+
+    mesh = find_mesh(model_path)
+    if mesh.vertex_colors is None:
+        # neutral grey so rgb/edge/keypoint cues are defined for colorless meshes
+        import jax.numpy as jnp_
+
+        mesh = mesh._replace(
+            vertex_colors=jnp_.full((mesh.num_vertices, 3), 0.5)
+        )
+    curv = None
+    if "principal_curvature" in tasks:
+        curv = bake_curvature_colors(mesh, min_radius=settings.MIN_CURVATURE_RADIUS)
+
+    infos = load_point_info(model_path)
+    for t in tasks:
+        os.makedirs(os.path.join(model_path, t), exist_ok=True)
+
+    mods = tuple(t for t in tasks if t in DEVICE_TASKS)
+    n_imgs = sum(len(v) for v in infos)
+    i = 0
+    with Profiler("Render") as pflr:
+        for views in infos:
+            for view in views:
+                cam = camera_from_view_dict(view, resolution=settings.RESOLUTION)
+                out = annotate_view(
+                    cam, mesh, curv,
+                    tile=settings.RASTER_TILE,
+                    cap=settings.RASTER_CAP,
+                    chunk=settings.RASTER_CHUNK,
+                    modalities=mods,
+                )
+                for t in mods:
+                    path = file_name_for(
+                        os.path.join(model_path, t), view["point_uuid"],
+                        view["view_id"], t, settings.PREFERRED_IMG_EXT,
+                    )
+                    save_png(path, np.asarray(out[t]))
+                i += 1
+                pflr.step(f"finished img {i}/{n_imgs}")
+
+
+def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
+    from ..cues.encode import load_png, save_png
+    from ..cues.segmentation import segment_2d, segment_25d
+    from ..cues.vanishing import vanishing_points
+    from ..sampling import file_name_for, load_point_info, save_point_info
+
+    infos = load_point_info(model_path)
+    for t in tasks:
+        if t != "vanishing_points":
+            os.makedirs(os.path.join(model_path, t), exist_ok=True)
+
+    for views in infos:
+        for view in views:
+            p, v = view["point_uuid"], view["view_id"]
+            get = lambda task: load_png(
+                file_name_for(os.path.join(model_path, task), p, v, task,
+                              settings.PREFERRED_IMG_EXT)
+            )
+            if "segment_unsup2d" in tasks:
+                rgb = get("rgb")
+                gray = np.asarray(rgb, np.float64).mean(-1)
+                labels = segment_2d(
+                    gray,
+                    scale=settings.SEGMENTATION_2D_SCALE,
+                    blur=settings.SEGMENTATION_2D_BLUR,
+                    cut_thresh=settings.SEGMENTATION_2D_CUT_THRESH,
+                )
+                save_png(
+                    file_name_for(os.path.join(model_path, "segment_unsup2d"), p, v,
+                                  "segment_unsup2d", settings.PREFERRED_IMG_EXT),
+                    labels.astype(np.uint8),
+                )
+            if "segment_unsup25d" in tasks:
+                labels = segment_25d(
+                    get("depth_zbuffer"), get("normal"), get("edge_occlusion"),
+                    depth_weight=settings.SEGMENTATION_25D_DEPTH_WEIGHT,
+                    normal_weight=settings.SEGMENTATION_25D_NORMAL_WEIGHT,
+                    edge_weight=settings.SEGMENTATION_25D_EDGE_WEIGHT,
+                    scale=settings.SEGMENTATION_25D_SCALE,
+                    cut_thresh=settings.SEGMENTATION_25D_CUT_THRESH,
+                )
+                save_png(
+                    file_name_for(os.path.join(model_path, "segment_unsup25d"), p, v,
+                                  "segment_unsup25d", settings.PREFERRED_IMG_EXT),
+                    labels.astype(np.uint8),
+                )
+            if "vanishing_points" in tasks:
+                img_vps, sphere_vps = vanishing_points(view, settings.RESOLUTION)
+                view["vanishing_points_image"] = {
+                    k: list(map(float, xy)) for k, xy in zip("xyz", img_vps)
+                }
+                view["vanishing_points_gaussian_sphere"] = {
+                    k: list(map(float, p3)) for k, p3 in zip("xyz", sphere_vps)
+                }
+    if "vanishing_points" in tasks:
+        save_point_info(model_path, infos)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # `with KEY=VAL ...` tail (the reference's settings vocabulary)
+    overrides = []
+    if "with" in argv:
+        i = argv.index("with")
+        overrides = argv[i + 1 :]
+        argv = argv[:i]
+
+    p = argparse.ArgumentParser(prog="omnidata-annotate")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--task", required=True,
+                   help=f"one of {TASKS_ALL} or 'all'")
+    args = p.parse_args(argv)
+
+    from .settings import load_settings
+
+    settings = load_settings(overrides)
+    tasks = TASKS_ALL if args.task == "all" else [args.task]
+
+    t0 = time.time()
+    if "points" in tasks:
+        run_points(args.model_path, settings)
+    device = [t for t in tasks if t in DEVICE_TASKS]
+    if device:
+        run_device_tasks(args.model_path, device, settings)
+    host = [t for t in tasks if t in ("segment_unsup2d", "segment_unsup25d", "vanishing_points")]
+    if host:
+        run_host_tasks(args.model_path, host, settings)
+    print(f"[omnidata-annotate] done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
