@@ -87,7 +87,8 @@ def run_points(model_path: str, settings) -> None:
         max_views_per_point=settings.MAX_VIEWS_PER_POINT,
         resolution=settings.RESOLUTION,
     )
-    infos = prune_points(infos)
+    infos = prune_points(infos, min_views=settings.MIN_VIEWS_AFTER_PRUNE,
+                         min_nonfixated=settings.MIN_NONFIXATED_AFTER_PRUNE)
     save_point_info(model_path, infos)
     save_camera_poses(model_path, cams)
     n_views = sum(len(v) for v in infos)

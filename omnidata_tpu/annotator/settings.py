@@ -43,6 +43,8 @@ class Settings:
     MIN_VIEWS_PER_POINT: int = 3
     MAX_VIEWS_PER_POINT: int = 25
     POINT_TYPE: str = "CORRESPONDENCES"
+    MIN_VIEWS_AFTER_PRUNE: int = 1
+    MIN_NONFIXATED_AFTER_PRUNE: int = 1
     CREATE_PANOS: bool = False
     CREATE_FIXATED: bool = True
     CREATE_TRAJECTORY: bool = False

@@ -1,0 +1,113 @@
+"""train_normal.py — surface-normal training (reference:
+omnidata_tools/torch/train_normal.py + config/normal.yml).
+
+    python train_normal.py --config_file config/normal.yml [--max_steps N]
+
+Model: UNet (v1) or DPT-hybrid (model: dpt); loss = cosine-angular + 10*L1
+over the dilated valid mask; Adam amsgrad lr 1e-4 wd 2e-6, grad-clip 10.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="config/normal.yml")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    args = p.parse_args(argv)
+    cfg = yaml.safe_load(open(args.config_file))
+
+    import jax
+    import jax.numpy as jnp
+
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.models import DPTHybrid, UNet
+    from omnidata_tpu.train import (
+        batch_sharding,
+        create_train_state,
+        make_mesh,
+        make_normal_train_step,
+        normal_optimizer,
+        param_sharding,
+    )
+    from omnidata_tpu.train.checkpoints import CheckpointManager
+
+    image_size = int(cfg.get("image_size", 512))
+    batch_size = int(cfg.get("batch_size", 16))
+    lr = float(cfg.get("lr", 1e-4))
+    wd = float(cfg.get("weight_decay", 2e-6))
+    max_steps = args.max_steps or int(cfg.get("max_steps", 100000))
+    ckpt_dir = args.checkpoint_dir or cfg.get("checkpoint_dir", "./checkpoints/normal")
+
+    datasets = []
+    for comp, path in (cfg.get("data_paths") or {}).items():
+        if not path or not os.path.isdir(path):
+            continue
+        datasets.append(
+            OmnidataDataset(
+                Options(
+                    data_path=path,
+                    tasks=("rgb", "normal", "mask_valid"),
+                    image_size=image_size,
+                    random_flip=True,
+                )
+            )
+        )
+    if not datasets:
+        raise SystemExit("no data_paths configured / found in config")
+
+    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1)))
+    if cfg.get("model", "unet") == "dpt":
+        model = DPTHybrid(num_channels=3)
+    else:
+        model = UNet(out_channels=3)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+    )
+    variables = jax.device_put(variables, param_sharding(variables, mesh))
+    state = create_train_state(variables, normal_optimizer(lr=lr, weight_decay=wd))
+
+    def apply_fn(v, rgb_nchw):
+        y = model.apply(v, jnp.transpose(rgb_nchw, (0, 2, 3, 1)))
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    step_fn = jax.jit(make_normal_train_step(apply_fn), donate_argnums=0)
+    ckpt = CheckpointManager(ckpt_dir, save_top_k=int(cfg.get("save_top_k", 3)))
+    rng = np.random.RandomState(0)
+    b_shard = batch_sharding(mesh)
+
+    step = 0
+    t0 = time.time()
+    with mesh:
+        while step < max_steps:
+            ds = datasets[rng.randint(len(datasets))]
+            for batch in ds.batches(batch_size):
+                b = {
+                    "rgb": batch["rgb"].astype(np.float32),
+                    "normal": batch["normal"].astype(np.float32),
+                    "mask_valid": batch["mask_valid"] > 0.5,
+                }
+                b = jax.device_put(b, {k: b_shard for k in b})
+                state, metrics = step_fn(state, b)
+                step += 1
+                if step % int(cfg.get("log_step", 100)) == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(f"step {step}: {m} ({(time.time()-t0)/step:.2f}s/step)")
+                if step % int(cfg.get("ckpt_step", 1000)) == 0:
+                    ckpt.save(jax.device_get(state.params), step,
+                              metric=float(metrics["loss"]))
+                if step >= max_steps:
+                    break
+    ckpt.save(jax.device_get(state.params), step, metric=None)
+    print(f"done: {step} steps in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
