@@ -34,6 +34,7 @@ TASKS_ALL = [
     "edge_texture",
     "edge_occlusion",
     "keypoints2d",
+    "keypoints3d",
     "segment_unsup2d",
     "segment_unsup25d",
     "vanishing_points",
@@ -163,6 +164,19 @@ def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
                 file_name_for(os.path.join(model_path, task), p, v, task,
                               settings.PREFERRED_IMG_EXT)
             )
+            if "keypoints3d" in tasks:
+                from ..cues.keypoints3d import keypoints3d_from_depth_code
+
+                out = keypoints3d_from_depth_code(
+                    get("depth_zbuffer"), view["field_of_view_rads"],
+                    settings.RESOLUTION, support_size=settings.KEYPOINT_SUPPORT_SIZE,
+                    max_meters=settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS,
+                )
+                save_png(
+                    file_name_for(os.path.join(model_path, "keypoints3d"), p, v,
+                                  "keypoints3d", settings.PREFERRED_IMG_EXT),
+                    out,
+                )
             if "segment_unsup2d" in tasks:
                 rgb = get("rgb")
                 gray = np.asarray(rgb, np.float64).mean(-1)
@@ -229,7 +243,8 @@ def main(argv=None):
     device = [t for t in tasks if t in DEVICE_TASKS]
     if device:
         run_device_tasks(args.model_path, device, settings)
-    host = [t for t in tasks if t in ("segment_unsup2d", "segment_unsup25d", "vanishing_points")]
+    host = [t for t in tasks
+            if t in ("keypoints3d", "segment_unsup2d", "segment_unsup25d", "vanishing_points")]
     if host:
         run_host_tasks(args.model_path, host, settings)
     print(f"[omnidata-annotate] done in {time.time() - t0:.1f}s")

@@ -20,6 +20,7 @@ from .edges import (
 )
 from .keypoints2d import keypoints2d, integral_image, hessian_det_appx
 from .vanishing import vanishing_points
+from .keypoints3d import narf_interest_image, keypoints3d_from_depth_code
 from .curvature import (
     vertex_principal_curvatures,
     clip_curvatures,

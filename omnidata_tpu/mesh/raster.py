@@ -69,29 +69,63 @@ def _project_all(K, RT, pts):
 def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     """Per-tile triangle lists (T, cap) + per-tile candidate counts (T,).
 
-    Conservative: triangles with any vertex behind the near plane are binned
-    to every tile (rare interior cases; correctness over speed)."""
+    Near-plane-aware: camera rays all have positive CV-frame z, so triangles
+    entirely behind z=near can never be hit and are culled outright;
+    triangles straddling the plane get a screen bbox over their in-front
+    vertices plus the two edge/near-plane crossings (exact conservative
+    bound — without this, interior views bin ~half the mesh to every tile)."""
     res = camera.resolution
     n_tiles_1d = res // tile
     T = n_tiles_1d * n_tiles_1d
     K = intrinsic_matrix(camera.fov, res)
     RT = extrinsic_RT(camera.location, camera.R)
-    uv, z = _project_all(K, RT, mesh.vertices)
 
-    tri_uv = uv[mesh.faces]  # (F,3,2)
-    tri_z = z[mesh.faces]  # (F,3)
-    behind = jnp.any(tri_z < _NEAR, -1)  # (F,)
+    # camera-space positions for clipping; screen uv for in-front vertices
+    ones = jnp.ones((mesh.vertices.shape[0], 1), mesh.vertices.dtype)
+    cam = jnp.einsum(
+        "ij,nj->ni", RT, jnp.concatenate([mesh.vertices, ones], -1),
+        precision="highest",
+    )  # (V,3)
+    tri_cam = cam[mesh.faces]  # (F,3,3)
+    tri_z = tri_cam[..., 2]  # (F,3)
 
-    lo = jnp.min(tri_uv, 1)  # (F,2)
-    hi = jnp.max(tri_uv, 1)
+    def to_uv(pts_cam):
+        uvw = jnp.einsum("...j,ij->...i", pts_cam, K, precision="highest")
+        zz = jnp.maximum(uvw[..., 2], _NEAR)
+        return uvw[..., :2] / zz[..., None]
+
+    front = tri_z > _NEAR  # (F,3)
+    any_front = jnp.any(front, -1)
+    uv_v = to_uv(tri_cam)  # (F,3,2) — garbage where behind; masked below
+
+    # edge/near-plane crossings for the 3 edges (i, i+1)
+    BIGF = 1e9
+    lo = jnp.full((mesh.faces.shape[0], 2), BIGF)
+    hi = jnp.full((mesh.faces.shape[0], 2), -BIGF)
+    for i in range(3):
+        m = front[:, i : i + 1]
+        lo = jnp.minimum(lo, jnp.where(m, uv_v[:, i], BIGF))
+        hi = jnp.maximum(hi, jnp.where(m, uv_v[:, i], -BIGF))
+        j = (i + 1) % 3
+        a, b = tri_cam[:, i], tri_cam[:, j]
+        za, zb = tri_z[:, i], tri_z[:, j]
+        crosses = (za > _NEAR) != (zb > _NEAR)
+        tcl = (_NEAR - za) / jnp.where(zb == za, 1.0, zb - za)
+        pc = a + tcl[:, None] * (b - a)
+        pc = pc.at[:, 2].set(_NEAR)
+        uv_c = to_uv(pc)
+        cm = crosses[:, None]
+        lo = jnp.minimum(lo, jnp.where(cm, uv_c, BIGF))
+        hi = jnp.maximum(hi, jnp.where(cm, uv_c, -BIGF))
+
     F = mesh.faces.shape[0]
-    live = jnp.arange(F) < mesh.num_faces
+    live = (jnp.arange(F) < mesh.num_faces) & any_front
 
     tx = jnp.arange(n_tiles_1d) * tile
     overlap_x = (hi[:, 0:1] >= tx[None]) & (lo[:, 0:1] <= tx[None] + tile)  # (F,Tx)
     overlap_y = (hi[:, 1:2] >= tx[None]) & (lo[:, 1:2] <= tx[None] + tile)  # (F,Ty)
     overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (F,Ty,Tx)
-    overlap = (overlap | behind[:, None, None]) & live[:, None, None]
+    overlap = overlap & live[:, None, None]
     overlap = overlap.reshape(F, T)
 
     counts = jnp.sum(overlap, 0)  # (T,)

@@ -195,3 +195,33 @@ def test_vanishing_points_golden(reference_root):
     got = {k: np.asarray(v) for k, v in zip("xyz", sphere_vps)}
     for axis in "xyz":
         np.testing.assert_allclose(got[axis], ref[axis], atol=1e-5)
+
+
+def test_keypoints3d_native_and_numpy_agree():
+    from omnidata_tpu.cues import narf_interest_image
+
+    # synthetic scene: a step edge + a corner in depth
+    H = W = 48
+    depth = np.full((H, W), 3.0, np.float32)
+    depth[20:, 24:] = 1.5  # box corner at (20, 24)
+    native = narf_interest_image(depth, focal_px=40.0, support_size=0.5,
+                                 backend="native")
+    fallback = narf_interest_image(depth, focal_px=40.0, support_size=0.5,
+                                   backend="numpy")
+    assert native.shape == (H, W)
+    assert native.max() > 0.05  # geometry produces interest
+    # both implementations highlight the same structures
+    np.testing.assert_allclose(native, fallback, atol=0.15)
+    c_n = np.unravel_index(native.argmax(), native.shape)
+    c_f = np.unravel_index(fallback.argmax(), fallback.shape)
+    assert abs(c_n[0] - c_f[0]) <= 4 and abs(c_n[1] - c_f[1]) <= 4
+
+
+def test_keypoints3d_driver_contract():
+    from omnidata_tpu.cues import keypoints3d_from_depth_code
+
+    code = np.full((32, 32), int(2.0 * 512), np.uint16)
+    code[16:, 16:] = int(1.0 * 512)
+    out = keypoints3d_from_depth_code(code, fov_rads=1.0, resolution=32,
+                                      support_size=0.5)
+    assert out.dtype == np.uint16 and out.shape == (32, 32)
