@@ -11,3 +11,11 @@ from .registry import (
     surface_normal_unet,
     MODELS,
 )
+from .multitask import (
+    MultiTaskModel,
+    MTAN,
+    PADNet,
+    CrossStitch,
+    HRNetLite,
+    grad_norm_weights,
+)

@@ -168,3 +168,33 @@ def test_dpt_jit_compiles(dpt_small_variables):
     f = jax.jit(lambda v, x: model.apply(v, x))
     y = f(variables, jnp.ones((1, 128, 128, 3)))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_multitask_models_shapes():
+    from omnidata_tpu.models import MTAN, CrossStitch, HRNetLite, MultiTaskModel, PADNet
+
+    tasks = {"depth_zbuffer": 1, "normal": 3}
+    x = jnp.zeros((1, 64, 64, 3))
+    for cls in (MultiTaskModel, MTAN, CrossStitch):
+        m = cls(tasks=tasks)
+        out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+        assert out["depth_zbuffer"].shape == (1, 64, 64, 1)
+        assert out["normal"].shape == (1, 64, 64, 3)
+    m = PADNet(tasks=tasks)
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert out["normal"].shape == (1, 64, 64, 3)
+    assert out["aux"]["depth_zbuffer"].shape == (1, 64, 64, 1)
+    h = HRNetLite(out_channels=17)
+    y = h.apply(h.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 64, 64, 17)
+
+
+def test_grad_norm_weights():
+    from omnidata_tpu.models import grad_norm_weights
+
+    w = grad_norm_weights(
+        {"a": 1.0, "b": 1.0}, {"a": 10.0, "b": 1.0},
+    )
+    # the task with the larger gradient norm gets down-weighted
+    assert w["a"] < w["b"]
+    np.testing.assert_allclose(float(w["a"] + w["b"]), 2.0, rtol=1e-5)
