@@ -1,1 +1,10 @@
 from .masks import build_mask, dilate_invalid
+from .task_configs import task_parameters, PIX_TO_PIX_TASKS, SINGLE_IMAGE_TASKS
+from .transforms import get_transform, default_loader
+from .dataset import OmnidataDataset, Options, component_weighted_indices
+from .scene_metadata import (
+    BuildingMetadata,
+    BuildingMultiviewMetadata,
+    CenterVisibleMultiviewSampler,
+)
+from .splits import get_splits, subset_ladder, flat_split_to_spaces, SUBSETS

@@ -1,0 +1,192 @@
+"""Scene metadata for multiview sampling — capability match for the
+reference's modular dataloader (dataloader/scene_metadata.py:59-361 and the
+multiview samplers in dataloader/omnidata_dataset.py:698-1090).
+
+- BuildingMetadata: (point, view) -> camera index, camera locations deduped
+  by tolerance; HDF5-persistable.
+- BuildingMultiviewMetadata: (point, view) -> set of visible points, computed
+  from point_info's nonfixated_points_in_view (the reference's point_info
+  path; its alternative fragment-render path is served by our renderer's
+  Fragments.face ids directly).
+- CenterVisibleMultiviewSampler: positives = views whose visible-point sets
+  reach the anchor's point within `hops` on the view graph, with BACKOFF
+  through SAME/FIXATED/DIFFERENT and optional camera-KNN filtering.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class BuildingMetadata:
+    points: list  # point uuid per bpv row
+    views: list  # view id per bpv row
+    camera_idx: np.ndarray  # (N,) index into camera_locations
+    camera_locations: np.ndarray  # (C,3) deduped
+
+    @classmethod
+    def from_point_info(cls, point_infos, atol: float = 1e-4):
+        pts, views, cam_idx, cams = [], [], [], []
+        for pviews in point_infos:
+            for view in pviews:
+                loc = np.asarray(view["camera_location"], np.float32)
+                found = None
+                for i, c in enumerate(cams):
+                    if np.allclose(c, loc, atol=atol):
+                        found = i
+                        break
+                if found is None:
+                    cams.append(loc)
+                    found = len(cams) - 1
+                pts.append(str(view["point_uuid"]))
+                views.append(int(view["view_id"]))
+                cam_idx.append(found)
+        return cls(pts, views, np.asarray(cam_idx),
+                   np.stack(cams) if cams else np.zeros((0, 3), np.float32))
+
+    def save_hdf5(self, path: str):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("points", data=np.asarray(self.points, "S"))
+            f.create_dataset("views", data=np.asarray(self.views))
+            f.create_dataset("camera_idx", data=self.camera_idx)
+            f.create_dataset("camera_locations", data=self.camera_locations)
+
+    @classmethod
+    def load_hdf5(cls, path: str):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return cls(
+                [s.decode() for s in f["points"][:]],
+                [int(v) for v in f["views"][:]],
+                f["camera_idx"][:],
+                f["camera_locations"][:],
+            )
+
+
+@dataclass
+class BuildingMultiviewMetadata:
+    """(point, view) -> sorted array of visible point uuids."""
+
+    visible: dict  # (point, view) -> list[str]
+
+    @classmethod
+    def from_point_info(cls, point_infos):
+        vis = {}
+        for pviews in point_infos:
+            for view in pviews:
+                key = (str(view["point_uuid"]), int(view["view_id"]))
+                vis[key] = sorted(
+                    str(j) for j in view.get("nonfixated_points_in_view", [])
+                )
+        return cls(vis)
+
+    @classmethod
+    def from_fragments(cls, frag_faces: dict, face_to_point: np.ndarray,
+                       center_crop: float = 0.5):
+        """Fragment-render path (scene_metadata.py compute_from_frags:298-358):
+        frag_faces[(point, view)] = (H,W) face-id image; face_to_point maps
+        face id -> point id (or -1). Visibility = points whose faces appear
+        in the center crop of the view."""
+        vis = {}
+        for key, faces in frag_faces.items():
+            H, W = faces.shape
+            h0, h1 = int(H * (0.5 - center_crop / 2)), int(H * (0.5 + center_crop / 2))
+            w0, w1 = int(W * (0.5 - center_crop / 2)), int(W * (0.5 + center_crop / 2))
+            ids = np.unique(faces[h0:h1, w0:w1])
+            ids = ids[ids >= 0]
+            pts = np.unique(face_to_point[ids])
+            vis[key] = sorted(str(p) for p in pts[pts >= 0])
+        return cls(vis)
+
+    def save_hdf5(self, path: str):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            for (p, v), pts in self.visible.items():
+                f.create_dataset(f"{p}/{v}", data=np.asarray(pts, "S"))
+
+    @classmethod
+    def load_hdf5(cls, path: str):
+        import h5py
+
+        vis = {}
+        with h5py.File(path, "r") as f:
+            for p in f:
+                for v in f[p]:
+                    vis[(p, int(v))] = [s.decode() for s in f[p][v][:]]
+        return cls(vis)
+
+
+BACKOFF_ORDER = ("SAME", "FIXATED", "DIFFERENT")
+
+
+class CenterVisibleMultiviewSampler:
+    """Positives for an anchor (point, view): other views that see the
+    anchor's point (1 hop), or points visible from those views (more hops);
+    BACKOFF: SAME view -> FIXATED (other views of the same point) ->
+    DIFFERENT (any view). Optional camera-KNN restricts candidates to the
+    k nearest cameras (dataloader/omnidata_dataset.py:838-1090)."""
+
+    def __init__(self, building: BuildingMetadata, mv: BuildingMultiviewMetadata,
+                 knn_cameras: int | None = None):
+        self.b = building
+        self.mv = mv
+        self.knn = knn_cameras
+        # index: point -> [(point, view) rows that see it]
+        self.seen_by: dict = {}
+        for (p, v), pts in mv.visible.items():
+            for q in pts:
+                self.seen_by.setdefault(q, []).append((p, v))
+        self.rows = list(zip(building.points, building.views))
+        self.row_index = {pv: i for i, pv in enumerate(self.rows)}
+
+    def _knn_ok(self, anchor, cand) -> bool:
+        if self.knn is None:
+            return True
+        ai = self.row_index.get(anchor)
+        ci = self.row_index.get(cand)
+        if ai is None or ci is None:
+            return True
+        locs = self.b.camera_locations
+        a_loc = locs[self.b.camera_idx[ai]]
+        d_all = np.linalg.norm(locs - a_loc, axis=1)
+        thresh = np.sort(d_all)[min(self.knn, len(d_all) - 1)]
+        return float(np.linalg.norm(locs[self.b.camera_idx[ci]] - a_loc)) <= thresh
+
+    def positives(self, point: str, view: int, n: int, hops: int = 1,
+                  rng: np.random.RandomState | None = None) -> list:
+        rng = rng or np.random.RandomState(0)
+        anchor = (str(point), int(view))
+        frontier = {str(point)}
+        cands: list = []
+        seen = {anchor}
+        for _ in range(max(hops, 1)):
+            nxt = set()
+            for q in frontier:
+                for pv in self.seen_by.get(q, []):
+                    if pv not in seen and self._knn_ok(anchor, pv):
+                        cands.append(pv)
+                        seen.add(pv)
+                        nxt.update(self.mv.visible.get(pv, []))
+            frontier = nxt
+        rng.shuffle(cands)
+        out = cands[:n]
+        # BACKOFF: FIXATED (same point, other views), then DIFFERENT, then SAME
+        if len(out) < n:
+            fixated = [pv for pv in self.rows
+                       if pv[0] == str(point) and pv != anchor and pv not in out]
+            rng.shuffle(fixated)
+            out += fixated[: n - len(out)]
+        if len(out) < n:
+            others = [pv for pv in self.rows if pv not in out and pv != anchor]
+            rng.shuffle(others)
+            out += others[: n - len(out)]
+        while len(out) < n:
+            out.append(anchor)  # SAME
+        return out[:n]

@@ -265,3 +265,67 @@ def test_augment_rgb_and_resize_crop():
     assert small["rgb"].shape == (2, 3, 16, 16)
     big = resize_crop(batch, jax.random.PRNGKey(2), 64)
     assert big["depth"].shape == (2, 1, 64, 64)
+
+
+# ---------------- scene metadata / multiview ----------------
+
+def _toy_point_infos():
+    mk = lambda p, v, loc, nonfix: {
+        "point_uuid": str(p), "view_id": v, "camera_location": loc,
+        "nonfixated_points_in_view": nonfix,
+    }
+    return [
+        [mk(0, 0, [0, 0, 1], [1]), mk(0, 1, [1, 0, 1], [1, 2])],
+        [mk(1, 0, [0, 0, 1], [0]), mk(1, 1, [5, 5, 1], [])],
+        [mk(2, 0, [2, 2, 1], [0, 1])],
+    ]
+
+
+def test_building_metadata_dedup_and_hdf5(tmp_path):
+    from omnidata_tpu.data import BuildingMetadata
+
+    b = BuildingMetadata.from_point_info(_toy_point_infos())
+    # two views share camera location [0,0,1] -> deduped
+    assert b.camera_locations.shape[0] == 4
+    p = str(tmp_path / "b.hdf5")
+    b.save_hdf5(p)
+    b2 = BuildingMetadata.load_hdf5(p)
+    np.testing.assert_array_equal(b.camera_idx, b2.camera_idx)
+    assert b.points == b2.points
+
+
+def test_center_visible_sampler(tmp_path):
+    from omnidata_tpu.data import (
+        BuildingMetadata,
+        BuildingMultiviewMetadata,
+        CenterVisibleMultiviewSampler,
+    )
+
+    infos = _toy_point_infos()
+    b = BuildingMetadata.from_point_info(infos)
+    mv = BuildingMultiviewMetadata.from_point_info(infos)
+    p = str(tmp_path / "mv.hdf5")
+    mv.save_hdf5(p)
+    mv2 = BuildingMultiviewMetadata.load_hdf5(p)
+    assert mv.visible[("0", 1)] == mv2.visible[("0", 1)]
+
+    s = CenterVisibleMultiviewSampler(b, mv)
+    pos = s.positives("1", 0, 2, hops=1, rng=np.random.RandomState(0))
+    # views that see point 1: (0,0), (0,1) and (2,0)
+    assert set(pos) <= {("0", 0), ("0", 1), ("2", 0)}
+    # backoff fills when not enough center-visible candidates
+    pos4 = s.positives("1", 0, 4, hops=1, rng=np.random.RandomState(0))
+    assert len(pos4) == 4
+
+
+def test_splits_csv(tmp_path):
+    from omnidata_tpu.data import flat_split_to_spaces, get_splits, subset_ladder
+
+    p = tmp_path / "split.csv"
+    p.write_text("id,train,val,test\nb1,1,0,0\nb2,0,1,0\nb3,1,0,0\nmosquito,1,0,0\n")
+    s = get_splits(str(p))
+    assert s["train"] == {"b1", "b3"} and s["val"] == {"b2"}
+    subs = subset_ladder(["b1", "b2", "b3"])
+    assert subs["debug"] <= subs["fullplus"]
+    flat = flat_split_to_spaces(s, subs)
+    assert "tiny-train" in flat
