@@ -21,3 +21,4 @@ from .shade import (
     vertex_colors,
     hit_points_world,
 )
+from .pano import pano_rays, render_pano, pano_camera

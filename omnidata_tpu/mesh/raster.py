@@ -130,11 +130,19 @@ def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
 
     counts = jnp.sum(overlap, 0)  # (T,)
 
-    def per_tile(col):
-        (idx,) = jnp.nonzero(col, size=cap, fill_value=F - 1)
-        return idx.astype(jnp.int32)
-
-    tile_tris = jax.vmap(per_tile, in_axes=1)(overlap)  # (T,cap)
+    # Fixed-capacity per-tile lists without scatters (TPU scatters are slow;
+    # jnp.nonzero lowers to one): one top_k over keys that rank overlapping
+    # faces first, in ascending face order. key = 2F - idx if overlapping
+    # else -idx; top-cap indices are exactly the first `cap` overlapping
+    # faces; slots beyond the count fall back to the degenerate face F-1.
+    iota = jnp.arange(F, dtype=jnp.int32)
+    keys = jnp.where(overlap.T, 2 * F - iota[None, :], -iota[None, :])  # (T,F)
+    k = min(cap, F)
+    vals, idx = jax.lax.top_k(keys, k)  # (T,k)
+    tile_tris = jnp.where(vals > F, idx, F - 1).astype(jnp.int32)
+    if k < cap:  # tiny meshes: pad the capacity with degenerate slots
+        pad = jnp.full((T, cap - k), F - 1, jnp.int32)
+        tile_tris = jnp.concatenate([tile_tris, pad], 1)
     return tile_tris, counts
 
 
@@ -187,8 +195,10 @@ def render_view(
 
     n_chunks = cap // chunk
 
+    assert chunk <= 128, "chunk-local index must fit in 7 mantissa bits"
+
     def body(carry, ci):
-        best_t, best_j = carry  # (T,P), (T,P) int32 (index into cap)
+        best_packed, best_j = carry  # (T,P) int32 packed t|idx, (T,P) idx into cap
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk, axis=1)
         v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (sl(a) for a in g)  # (T,C)
 
@@ -220,18 +230,27 @@ def render_view(
             & (t > _EPS)
         )
         t = jnp.where(hit, t, _BIG)  # (T,P,C)
-        j = jnp.argmin(t, -1)  # (T,P)
-        tj = jnp.min(t, -1)  # (T,P)
-        closer = tj < best_t
-        best_j = jnp.where(closer, ci * chunk + j, best_j)
-        best_t = jnp.minimum(best_t, tj)
-        return (best_t, best_j), None
+        # One fused min-reduction: for positive floats the int32 bit pattern
+        # is order-preserving, so pack the chunk-local index into the low
+        # mantissa bits (chunk <= 128 -> 7 bits; ~1e-5 relative t error,
+        # far below the 1/512 m label quantization; exact t is recomputed
+        # for the winner after the loop).
+        ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2)
+        packed = (ti & ~jnp.int32(0x7F)) | lane
+        pj = jnp.min(packed, -1)  # (T,P)
+        closer = pj < best_packed
+        cand_j = ci * chunk + (pj & 0x7F)
+        best_j = jnp.where(closer, cand_j, best_j)
+        best_packed = jnp.minimum(best_packed, pj)
+        return (best_packed, best_j), None
 
-    init = (jnp.full((T, P), _BIG), jnp.zeros((T, P), jnp.int32))
-    (t, jbest), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    valid = t < _BIG
+    BIG_PACKED = jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~jnp.int32(0x7F)
+    init = (jnp.full((T, P), BIG_PACKED, jnp.int32), jnp.zeros((T, P), jnp.int32))
+    (packed, jbest), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    valid = packed < BIG_PACKED
 
-    # winning face ids + one-shot barycentric recompute for the winners
+    # winning face ids + one-shot exact t/barycentric recompute for winners
     f = jnp.take_along_axis(tile_tris, jbest.reshape(T, P), axis=1)  # (T,P)
     f = jnp.where(valid, f, -1)
 
@@ -249,6 +268,8 @@ def render_view(
     qz = tvx * e1y - tvy * e1x
     u = (tvx * px + tvy * py + tvz * pz) * inv
     v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    t = jnp.where(valid, t, _BIG)
     uv = jnp.stack([u, v], -1)  # (T,P,2)
 
     def untile(x):

@@ -179,3 +179,20 @@ def test_obj_ply_loaders(tmp_path):
     m2 = load_ply(str(ply))
     assert m2.num_faces == 1
     np.testing.assert_allclose(np.asarray(m2.vertex_colors)[0], [1, 0, 0])
+
+
+def test_pano_render_room():
+    from omnidata_tpu.core import euler_xyz_to_matrix
+    from omnidata_tpu.mesh import render_pano
+
+    mesh = room(size=8.0, height=3.0)
+    loc = jnp.asarray([0.0, 0.0, 1.5])
+    # leveled pano camera (Blender: pitch pi/2 puts camera +Y at world +Z)
+    R = euler_xyz_to_matrix(jnp.asarray([np.pi / 2, 0.0, 0.0]))
+    frag = render_pano(loc, R, mesh, width=64, height=32, block=512)
+    assert bool(frag.valid.all())  # closed room: the whole sphere hits
+    # top row looks up (ceiling at 3-1.5m), bottom looks down (floor 1.5m)
+    np.testing.assert_allclose(frag.t[0, :], 1.5, atol=0.05)
+    np.testing.assert_allclose(frag.t[-1, :], 1.5, atol=0.05)
+    # horizon row hits walls at >= 4m at the closest
+    assert float(frag.t[16].min()) >= 3.9
