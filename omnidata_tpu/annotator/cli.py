@@ -35,6 +35,7 @@ TASKS_ALL = [
     "edge_occlusion",
     "keypoints2d",
     "keypoints3d",
+    "semantic",
     "segment_unsup2d",
     "segment_unsup25d",
     "vanishing_points",
@@ -43,7 +44,7 @@ TASKS_ALL = [
 DEVICE_TASKS = {
     "rgb", "normal", "depth_zbuffer", "depth_euclidean", "mask_valid",
     "reshading", "principal_curvature", "edge_texture", "edge_occlusion",
-    "keypoints2d",
+    "keypoints2d", "semantic",
 }
 
 

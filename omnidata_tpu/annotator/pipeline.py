@@ -34,6 +34,7 @@ from ..cues.reshading import reshade
 from ..mesh.mesh import TriangleMesh
 from ..mesh.raster import render_view
 from ..mesh.shade import (
+    face_labels,
     normals_to_camera,
     smooth_normals_world,
     vertex_colors,
@@ -50,6 +51,7 @@ DEVICE_MODALITIES = (
     "edge_occlusion",
     "edge_texture",
     "keypoints2d",
+    "semantic",
 )
 
 
@@ -105,6 +107,9 @@ def annotate_view(
 
     if "principal_curvature" in modalities and curvature_mesh is not None:
         out["principal_curvature"] = img_as_uint8(vertex_colors(frag, curvature_mesh))
+
+    if "semantic" in modalities and mesh.face_labels is not None:
+        out["semantic"] = face_labels(frag, mesh, background=0).astype(jnp.uint8)
 
     if "edge_occlusion" in modalities:
         out["edge_occlusion"] = img_as_uint16(edge_occlusion(out["depth_zbuffer"]))

@@ -240,6 +240,7 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
 
     verts = colors = None
     faces = []
+    face_labels: list = []
     if fmt == "ascii":
         lines = data[header_end:].decode("ascii").split("\n")
         li = 0
@@ -255,11 +256,14 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
                     ci = [names.index(k) for k in ("red", "green", "blue")]
                     colors = (arr[:, ci] / 255.0).astype(np.float32)
             elif name == "face":
+                has_label = len(props) > 1 and props[-1][0] != "list"
                 for r in rows:
-                    t = [int(x) for x in r.split()]
+                    t = [int(float(x)) for x in r.split()]
                     n, idx = t[0], t[1 : 1 + t[0]]
+                    lab = t[1 + n] if has_label and len(t) > 1 + n else 0
                     for i in range(1, n - 1):
                         faces.append([idx[0], idx[i], idx[i + 1]])
+                        face_labels.append(lab)
     elif fmt == "binary_little_endian":
         off = header_end
         for name, count, props in elements:
@@ -284,17 +288,28 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
                     isz = struct.calcsize(_SIZES[idx_t])
                     idx = struct.unpack_from("<" + str(n) + _SIZES[idx_t], data, off)
                     off += isz * n
-                    # skip any extra non-list properties on faces
+                    # extra face properties: first non-list scalar becomes the
+                    # semantic label (Replica mesh_semantic.ply object_id;
+                    # create_semantic_images.py:50-70 reads the same field)
+                    lab = 0
+                    got_label = False
                     for p in props[1:]:
                         if p[0] == "list":
                             m = struct.unpack_from("<" + _SIZES[p[2]], data, off)[0]
                             off += struct.calcsize(_SIZES[p[2]]) + m * struct.calcsize(_SIZES[p[3]])
                         else:
+                            if not got_label:
+                                lab = int(struct.unpack_from("<" + _SIZES[p[0]], data, off)[0])
+                                got_label = True
                             off += struct.calcsize(_SIZES[p[0]])
                     for i in range(1, n - 1):
                         faces.append([idx[0], idx[i], idx[i + 1]])
+                        face_labels.append(lab)
     else:
         raise ValueError(f"unsupported PLY format {fmt!r}")
 
+    labels = (np.asarray(face_labels, np.int32)
+              if face_labels and any(face_labels) else None)
     return from_arrays(verts, np.asarray(faces, np.int32),
-                       vertex_colors=colors, pad_multiple=pad_multiple)
+                       vertex_colors=colors, face_labels=labels,
+                       pad_multiple=pad_multiple)

@@ -196,3 +196,20 @@ def test_pano_render_room():
     np.testing.assert_allclose(frag.t[-1, :], 1.5, atol=0.05)
     # horizon row hits walls at >= 4m at the closest
     assert float(frag.t[16].min()) >= 3.9
+
+
+def test_ply_semantic_labels(tmp_path):
+    from omnidata_tpu.mesh import load_ply
+
+    ply = tmp_path / "sem.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "property int object_id\nend_header\n"
+        "0 0 0\n1 0 0\n0 1 0\n1 1 0\n"
+        "3 0 1 2 7\n3 1 3 2 9\n"
+    )
+    m = load_ply(str(ply))
+    assert m.face_labels is not None
+    np.testing.assert_array_equal(np.asarray(m.face_labels[:2]), [7, 9])
