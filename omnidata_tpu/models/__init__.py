@@ -19,3 +19,4 @@ from .multitask import (
     HRNetLite,
     grad_norm_weights,
 )
+from .attention_blocks import ECA, ChannelAttention, CBAM

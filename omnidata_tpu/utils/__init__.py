@@ -1,1 +1,2 @@
 from .profiler import Profiler
+from .video import make_video

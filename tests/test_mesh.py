@@ -213,3 +213,18 @@ def test_ply_semantic_labels(tmp_path):
     m = load_ply(str(ply))
     assert m.face_labels is not None
     np.testing.assert_array_equal(np.asarray(m.face_labels[:2]), [7, 9])
+
+
+def test_mesh_conversion_roundtrip(tmp_path):
+    from omnidata_tpu.utils.convert_mesh import main as convert
+
+    obj = tmp_path / "m.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    ply = tmp_path / "m.ply"
+    convert([str(obj), str(ply)])
+    m = load_ply(str(ply))
+    assert m.num_faces == 1
+    obj2 = tmp_path / "m2.obj"
+    convert([str(ply), str(obj2)])
+    m2 = load_obj(str(obj2))
+    np.testing.assert_allclose(np.asarray(m2.vertices), np.asarray(m.vertices))

@@ -198,3 +198,13 @@ def test_grad_norm_weights():
     # the task with the larger gradient norm gets down-weighted
     assert w["a"] < w["b"]
     np.testing.assert_allclose(float(w["a"] + w["b"]), 2.0, rtol=1e-5)
+
+
+def test_attention_blocks():
+    from omnidata_tpu.models import CBAM, ECA, ChannelAttention
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16), jnp.float32)
+    for cls in (ECA, ChannelAttention, CBAM):
+        m = cls()
+        y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+        assert y.shape == x.shape
