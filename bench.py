@@ -89,15 +89,15 @@ def main():
     on_tpu = backend == "tpu"
     res = 512
     tile = 64
-    cap = 4096 if on_tpu else 1024
+    cap = 1024
     chunk = 128 if on_tpu else 64
-    n_views = 32 if on_tpu else 2
+    n_views = 64 if on_tpu else 2
 
     mesh, curv = build_scene()
     n_faces = mesh.num_faces
     cams = sample_cameras(n_views + 1, resolution=res)
 
-    kw = dict(tile=tile, cap=cap, chunk=chunk, parallel_tiles=on_tpu)
+    kw = dict(tile=tile, cap=cap, chunk=chunk)
 
     # warmup / compile
     out = annotate_view(cams[0], mesh, curv, **kw)
