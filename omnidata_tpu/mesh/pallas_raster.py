@@ -1,0 +1,146 @@
+"""Pallas TPU rasterization kernel — the hot loop of render_view with
+*dynamic* per-tile trip counts.
+
+The XLA path (raster.py) must scan a fixed `cap` of candidate slots per tile;
+most tiles have far fewer real candidates (the bench scene averages ~8 of a
+1024 cap), so >90% of its intersection work is padding. This kernel reads the
+per-tile candidate count from SMEM (scalar prefetch) and runs
+ceil(count/chunk) loop iterations — work proportional to the real candidate
+load, which XLA's static shapes cannot express.
+
+Layout (per pallas_guide.md): grid = (tiles,); per-tile blocks in VMEM:
+triangle SoA planes (9, cap), ray planes (3, P); pixels processed in
+sub-blocks of PBLK=1024 so every (PBLK, chunk) intermediate fits VMEM;
+the winner per pixel is the packed order-preserving int32 of t with the
+candidate slot index in the low 10 bits (cap <= 1024), same trick as the
+XLA path but packing the *cap-slot* so no cross-chunk bookkeeping is needed.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_EPS = 1e-7
+_EDGE_EPS = 1e-5
+_IDX_BITS = 10  # cap <= 1024 slots packed in the mantissa low bits
+
+
+def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
+                        *, chunk: int, pblk: int):
+    """One tile: tri_ref (1, 9, cap) VMEM, dirs_ref (1, 3, P) VMEM,
+    out_ref (1, P) int32 packed winners."""
+    t_idx = pl.program_id(0)
+    count = counts_ref[t_idx]
+    cap = tri_ref.shape[2]
+    P = dirs_ref.shape[2]
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
+
+    ox = origin_ref[0, 0]
+    oy = origin_ref[0, 1]
+    oz = origin_ref[0, 2]
+
+    mask_low = jnp.int32((1 << _IDX_BITS) - 1)
+    big_packed = (
+        jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~mask_low
+    )
+
+    for pb in range(P // pblk):
+        dx = dirs_ref[0, 0, pb * pblk : (pb + 1) * pblk][:, None]  # (pblk,1)
+        dy = dirs_ref[0, 1, pb * pblk : (pb + 1) * pblk][:, None]
+        dz = dirs_ref[0, 2, pb * pblk : (pb + 1) * pblk][:, None]
+
+        def chunk_body(ci, best):
+            sl = lambda row: tri_ref[0, row, pl.ds(ci * chunk, chunk)][None, :]
+            v0x, v0y, v0z = sl(0), sl(1), sl(2)
+            e1x, e1y, e1z = sl(3), sl(4), sl(5)
+            e2x, e2y, e2z = sl(6), sl(7), sl(8)
+
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            e2q = e2x * qx + e2y * qy + e2z * qz  # (1,chunk)
+
+            px = dy * e2z - dz * e2y  # (pblk, chunk)
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
+                            1.0 / jnp.where(det == 0.0, 1.0, det))
+            u = (tvx * px + tvy * py + tvz * pz) * inv
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = e2q * inv
+            slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + ci * chunk
+            hit = (
+                (jnp.abs(det) >= _EPS)
+                & (u >= -_EDGE_EPS)
+                & (v >= -_EDGE_EPS)
+                & (u + v <= 1.0 + _EDGE_EPS)
+                & (t > _EPS)
+                & (slot < count)
+            )
+            tt = jnp.where(hit, t, _BIG)
+            ti = jax.lax.bitcast_convert_type(tt, jnp.int32)
+            packed = (ti & ~mask_low) | slot
+            return jnp.minimum(best, jnp.min(packed, axis=1))
+
+        init = jnp.full((pblk,), big_packed, jnp.int32)
+        best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        out_ref[0, pb * pblk : (pb + 1) * pblk] = best
+
+
+@partial(jax.jit, static_argnames=("chunk", "pblk", "interpret"))
+def raster_tiles_pallas(
+    counts: jax.Array,       # (T,) int32
+    origin: jax.Array,       # (3,)
+    tri_planes: jax.Array,   # (T, 9, cap) f32 — gathered per-tile SoA
+    dir_planes: jax.Array,   # (T, 3, P) f32
+    chunk: int = 128,
+    pblk: int = 1024,
+    interpret: bool = False,
+):
+    """-> packed winners (T, P) int32 (t bits | cap-slot in low 10 bits)."""
+    T, _, cap = tri_planes.shape
+    P = dir_planes.shape[2]
+    assert cap <= (1 << _IDX_BITS), cap
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda t, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P), lambda t, c: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref):
+        _raster_tile_kernel(
+            counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
+            chunk=chunk, pblk=pblk,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, P), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts.astype(jnp.int32), origin.reshape(1, 3), tri_planes, dir_planes)
+
+
+def unpack_winners(packed: jax.Array):
+    """(T,P) packed -> (valid (T,P), slot (T,P) int32)."""
+    mask_low = jnp.int32((1 << _IDX_BITS) - 1)
+    big_packed = (
+        jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~mask_low
+    )
+    valid = packed < big_packed
+    return valid, packed & mask_low

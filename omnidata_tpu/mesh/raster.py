@@ -307,3 +307,78 @@ def render_views(cameras: Camera, mesh: TriangleMesh, tile: int = 64,
             parallel_tiles,
         )
     )(cameras.location, cameras.R, cameras.fov)
+
+
+@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret"))
+def render_view_pallas(
+    camera: Camera,
+    mesh: TriangleMesh,
+    tile: int = 64,
+    cap: int = 1024,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> Fragments:
+    """render_view with the Pallas tile kernel (dynamic per-tile trip counts;
+    see pallas_raster.py). Identical outputs to render_view."""
+    from .pallas_raster import raster_tiles_pallas, unpack_winners
+
+    res = camera.resolution
+    n1d = res // tile
+    T = n1d * n1d
+    P = tile * tile
+
+    tile_tris, counts = bin_triangles(camera, mesh, tile, cap)  # (T,cap),(T,)
+
+    origin, dirs = camera_rays(camera)
+    tile_dirs = (
+        dirs.reshape(n1d, tile, n1d, tile, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(T, P, 3)
+    )
+    dir_planes = jnp.transpose(tile_dirs, (0, 2, 1))  # (T,3,P)
+
+    soa = _tri_soa(mesh)
+    tri_planes = jnp.stack([a[tile_tris] for a in soa], 1)  # (T,9,cap)
+
+    packed = raster_tiles_pallas(
+        counts, origin, tri_planes, dir_planes, chunk=chunk, interpret=interpret
+    )
+    valid, slot = unpack_winners(packed)
+    f = jnp.take_along_axis(tile_tris, slot, axis=1)
+    f = jnp.where(valid, f, -1)
+
+    dx, dy, dz = tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2]
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    fi = jnp.maximum(f, 0)
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (a[fi] for a in soa)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    t = jnp.where(valid, t, _BIG)
+    uv = jnp.stack([u, v], -1)
+
+    def untile(x):
+        shp = x.shape[2:]
+        return (
+            x.reshape(n1d, n1d, tile, tile, *shp)
+            .transpose(0, 2, 1, 3, *range(4, 4 + len(shp)))
+            .reshape(res, res, *shp)
+        )
+
+    t_img, f_img, uv_img, valid_img = untile(t), untile(f), untile(uv), untile(valid)
+    forward = camera.R @ jnp.asarray([0.0, 0.0, -1.0])
+    cosang = jnp.einsum("hwc,c->hw", dirs, forward, precision="highest")
+    z_img = jnp.where(valid_img, t_img * cosang, _BIG)
+    return Fragments(
+        t=jnp.where(valid_img, t_img, _BIG),
+        z=z_img, face=f_img, bary=uv_img, valid=valid_img,
+    )

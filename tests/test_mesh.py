@@ -228,3 +228,16 @@ def test_mesh_conversion_roundtrip(tmp_path):
     convert([str(ply), str(obj2)])
     m2 = load_obj(str(obj2))
     np.testing.assert_allclose(np.asarray(m2.vertices), np.asarray(m.vertices))
+
+
+def test_pallas_raster_matches_xla_interpret():
+    from omnidata_tpu.mesh import render_view_pallas
+
+    mesh = cube(size=1.0)
+    cam = _camera([2.0, 1.5, 1.2], [0, 0, 0])
+    a = render_view(cam, mesh, tile=32, cap=256, chunk=64)
+    b = render_view_pallas(cam, mesh, tile=32, cap=256, chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    m = np.asarray(a.valid)
+    np.testing.assert_array_equal(np.asarray(a.face)[m], np.asarray(b.face)[m])
+    np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m], atol=1e-4)
