@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,7 +34,7 @@ _IDX_BITS = 10  # cap <= 1024 slots packed in the mantissa low bits
 def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
                         *, chunk: int, pblk: int):
     """One tile: tri_ref (1, 9, cap) VMEM, dirs_ref (1, 3, P) VMEM,
-    out_ref (1, P) int32 packed winners."""
+    out_ref (1, 1, P) int32 packed winners."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
     cap = tri_ref.shape[2]
@@ -45,8 +46,9 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
     oz = origin_ref[0, 2]
 
     mask_low = jnp.int32((1 << _IDX_BITS) - 1)
-    big_packed = (
-        jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~mask_low
+    # host-computed constant: scalar tpu.bitcast is not lowerable in-kernel
+    big_packed = jnp.int32(
+        int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
 
     for pb in range(P // pblk):
@@ -91,7 +93,7 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
 
         init = jnp.full((pblk,), big_packed, jnp.int32)
         best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-        out_ref[0, pb * pblk : (pb + 1) * pblk] = best
+        out_ref[0, 0, pb * pblk : (pb + 1) * pblk] = best
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret"))
@@ -118,7 +120,7 @@ def raster_tiles_pallas(
             pl.BlockSpec((1, 3, P), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P), lambda t, c: (t, 0),
+        out_specs=pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -128,19 +130,20 @@ def raster_tiles_pallas(
             chunk=chunk, pblk=pblk,
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, P), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(counts.astype(jnp.int32), origin.reshape(1, 3), tri_planes, dir_planes)
+    return out[:, 0, :]
 
 
 def unpack_winners(packed: jax.Array):
     """(T,P) packed -> (valid (T,P), slot (T,P) int32)."""
     mask_low = jnp.int32((1 << _IDX_BITS) - 1)
-    big_packed = (
-        jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~mask_low
+    big_packed = jnp.int32(
+        int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
     valid = packed < big_packed
     return valid, packed & mask_low
