@@ -120,26 +120,37 @@ def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
 
     F = mesh.faces.shape[0]
     live = (jnp.arange(F) < mesh.num_faces) & any_front
+    # screen-frustum reject: bbox entirely off screen
+    on_screen = (hi[:, 0] >= 0) & (lo[:, 0] <= res) & (hi[:, 1] >= 0) & (lo[:, 1] <= res)
+    live = live & on_screen
+
+    # --- two-stage per-tile lists (sorts dominate binning cost) -----------
+    # Stage 1: compact the visible faces with ONE top_k over F; Stage 2:
+    # per-tile top_k over the compacted set (T x act_cap instead of T x F —
+    # an order of magnitude less sort work for interior views).
+    iota = jnp.arange(F, dtype=jnp.int32)
+    act_cap = min(max(4 * cap, 4096), F)
+    act_keys = jnp.where(live, 2 * F - iota, -iota)
+    av, act_idx = jax.lax.top_k(act_keys, act_cap)  # (act_cap,)
+    act_idx = jnp.where(av > F, act_idx, F - 1).astype(jnp.int32)
+
+    lo_a = lo[act_idx]  # (A,2); degenerate slots carry +BIGF bbox -> no overlap
+    hi_a = hi[act_idx]
+    live_a = av > F
 
     tx = jnp.arange(n_tiles_1d) * tile
-    overlap_x = (hi[:, 0:1] >= tx[None]) & (lo[:, 0:1] <= tx[None] + tile)  # (F,Tx)
-    overlap_y = (hi[:, 1:2] >= tx[None]) & (lo[:, 1:2] <= tx[None] + tile)  # (F,Ty)
-    overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (F,Ty,Tx)
-    overlap = overlap & live[:, None, None]
-    overlap = overlap.reshape(F, T)
+    overlap_x = (hi_a[:, 0:1] >= tx[None]) & (lo_a[:, 0:1] <= tx[None] + tile)
+    overlap_y = (hi_a[:, 1:2] >= tx[None]) & (lo_a[:, 1:2] <= tx[None] + tile)
+    overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (A,Ty,Tx)
+    overlap = (overlap & live_a[:, None, None]).reshape(act_cap, T)
 
     counts = jnp.sum(overlap, 0)  # (T,)
 
-    # Fixed-capacity per-tile lists without scatters (TPU scatters are slow;
-    # jnp.nonzero lowers to one): one top_k over keys that rank overlapping
-    # faces first, in ascending face order. key = 2F - idx if overlapping
-    # else -idx; top-cap indices are exactly the first `cap` overlapping
-    # faces; slots beyond the count fall back to the degenerate face F-1.
-    iota = jnp.arange(F, dtype=jnp.int32)
-    keys = jnp.where(overlap.T, 2 * F - iota[None, :], -iota[None, :])  # (T,F)
-    k = min(cap, F)
-    vals, idx = jax.lax.top_k(keys, k)  # (T,k)
-    tile_tris = jnp.where(vals > F, idx, F - 1).astype(jnp.int32)
+    a_iota = jnp.arange(act_cap, dtype=jnp.int32)
+    keys = jnp.where(overlap.T, 2 * act_cap - a_iota[None, :], -a_iota[None, :])
+    k = min(cap, act_cap)
+    vals, idx = jax.lax.top_k(keys, k)  # (T,k) — idx into the active set
+    tile_tris = jnp.where(vals > act_cap, act_idx[idx], F - 1).astype(jnp.int32)
     if k < cap:  # tiny meshes: pad the capacity with degenerate slots
         pad = jnp.full((T, cap - k), F - 1, jnp.int32)
         tile_tris = jnp.concatenate([tile_tris, pad], 1)
