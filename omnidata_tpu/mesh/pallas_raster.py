@@ -31,14 +31,14 @@ _EDGE_EPS = 1e-5
 _IDX_BITS = 10  # cap <= 1024 slots packed in the mantissa low bits
 
 
-def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
+def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, dir_refs, out_ref,
                         *, chunk: int, pblk: int):
-    """One tile: tri_ref (1, 9, cap) VMEM, dirs_ref (1, 3, P) VMEM,
+    """One tile: tri_refs 9x (1, 1, cap) VMEM planes, dir_refs 3x (1, 1, P),
     out_ref (1, 1, P) int32 packed winners."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    cap = tri_ref.shape[2]
-    P = dirs_ref.shape[2]
+    cap = tri_refs[0].shape[2]
+    P = dir_refs[0].shape[2]
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
 
     ox = origin_ref[0, 0]
@@ -52,15 +52,15 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
     )
 
     for pb in range(P // pblk):
-        dx = dirs_ref[0, 0, pb * pblk : (pb + 1) * pblk][:, None]  # (pblk,1)
-        dy = dirs_ref[0, 1, pb * pblk : (pb + 1) * pblk][:, None]
-        dz = dirs_ref[0, 2, pb * pblk : (pb + 1) * pblk][:, None]
+        dx = dir_refs[0][0, 0, pb * pblk : (pb + 1) * pblk][:, None]  # (pblk,1)
+        dy = dir_refs[1][0, 0, pb * pblk : (pb + 1) * pblk][:, None]
+        dz = dir_refs[2][0, 0, pb * pblk : (pb + 1) * pblk][:, None]
 
         def chunk_body(ci, best):
-            sl = lambda row: tri_ref[0, row, pl.ds(ci * chunk, chunk)][None, :]
-            v0x, v0y, v0z = sl(0), sl(1), sl(2)
-            e1x, e1y, e1z = sl(3), sl(4), sl(5)
-            e2x, e2y, e2z = sl(6), sl(7), sl(8)
+            sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
+            v0x, v0y, v0z = sl(tri_refs[0]), sl(tri_refs[1]), sl(tri_refs[2])
+            e1x, e1y, e1z = sl(tri_refs[3]), sl(tri_refs[4]), sl(tri_refs[5])
+            e2x, e2y, e2z = sl(tri_refs[6]), sl(tri_refs[7]), sl(tri_refs[8])
 
             tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
             qx = tvy * e1z - tvz * e1y
@@ -98,35 +98,41 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret"))
 def raster_tiles_pallas(
-    counts: jax.Array,       # (T,) int32
-    origin: jax.Array,       # (3,)
-    tri_planes: jax.Array,   # (T, 9, cap) f32 — gathered per-tile SoA
-    dir_planes: jax.Array,   # (T, 3, P) f32
+    counts: jax.Array,        # (T,) int32
+    origin: jax.Array,        # (3,)
+    tri_planes: tuple,        # 9x (T, cap) f32 — gathered per-tile SoA planes
+    dir_planes: tuple,        # 3x (T, P) f32
     chunk: int = 128,
     pblk: int = 1024,
     interpret: bool = False,
 ):
-    """-> packed winners (T, P) int32 (t bits | cap-slot in low 10 bits)."""
-    T, _, cap = tri_planes.shape
-    P = dir_planes.shape[2]
+    """-> packed winners (T, P) int32 (t bits | cap-slot in low 10 bits).
+
+    Separate plane arrays (not a stacked (T,9,cap)): stacking/transposing
+    small minor dims costs tens of ms on TPU; plane-wise gathers are cheap."""
+    T, cap = tri_planes[0].shape
+    P = dir_planes[0].shape[1]
     assert cap <= (1 << _IDX_BITS), cap
+    tri3 = [a.reshape(T, 1, cap) for a in tri_planes]
+    dir3 = [a.reshape(T, 1, P) for a in dir_planes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda t, c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 9, cap), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, P), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((1, 1, cap), lambda t, c: (t, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(9)],
+            *[pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(3)],
         ],
         out_specs=pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(counts_ref, origin_ref, tri_ref, dirs_ref, out_ref):
+    def kernel(counts_ref, origin_ref, *refs):
+        tri_refs, dir_refs, out_ref = refs[:9], refs[9:12], refs[12]
         _raster_tile_kernel(
-            counts_ref, origin_ref, tri_ref, dirs_ref, out_ref,
+            counts_ref, origin_ref, tri_refs, dir_refs, out_ref,
             chunk=chunk, pblk=pblk,
         )
 
@@ -135,7 +141,7 @@ def raster_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts.astype(jnp.int32), origin.reshape(1, 3), tri_planes, dir_planes)
+    )(counts.astype(jnp.int32), origin.reshape(1, 3), *tri3, *dir3)
     return out[:, 0, :]
 
 

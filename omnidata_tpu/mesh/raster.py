@@ -346,10 +346,9 @@ def render_view_pallas(
         .transpose(0, 2, 1, 3, 4)
         .reshape(T, P, 3)
     )
-    dir_planes = jnp.transpose(tile_dirs, (0, 2, 1))  # (T,3,P)
-
     soa = _tri_soa(mesh)
-    tri_planes = jnp.stack([a[tile_tris] for a in soa], 1)  # (T,9,cap)
+    tri_planes = tuple(a[tile_tris] for a in soa)  # 9x (T,cap)
+    dir_planes = (tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2])
 
     packed = raster_tiles_pallas(
         counts, origin, tri_planes, dir_planes, chunk=chunk, interpret=interpret
