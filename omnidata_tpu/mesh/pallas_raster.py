@@ -8,12 +8,17 @@ per-tile candidate count from SMEM (scalar prefetch) and runs
 ceil(count/chunk) loop iterations — work proportional to the real candidate
 load, which XLA's static shapes cannot express.
 
-Layout (per pallas_guide.md): grid = (tiles,); per-tile blocks in VMEM:
-triangle SoA planes (9, cap), ray planes (3, P); pixels processed in
-sub-blocks of PBLK=1024 so every (PBLK, chunk) intermediate fits VMEM;
-the winner per pixel is the packed order-preserving int32 of t with the
-candidate slot index in the low 10 bits (cap <= 1024), same trick as the
-XLA path but packing the *cap-slot* so no cross-chunk bookkeeping is needed.
+Two passes per pixel block, both with dynamic trip counts:
+1. find the winner: packed order-preserving int32 of t with the cap-slot in
+   the low bits, one fused min-reduction per chunk;
+2. extract the winner's (t, u, v, face) by a select-and-sum sweep (slot ==
+   best_slot picks exactly one lane) — this replaces the XLA tail's per-pixel
+   element-gathers (2.4M of them, ~20 ms/view on v5e) with pure VPU work.
+
+Layout (per pallas_guide.md): grid = (tiles,); per-tile VMEM blocks are
+*separate* (1,1,cap)/(1,1,P) planes — stacking/transposing small minor dims
+costs tens of ms on TPU. Pixels are processed in sub-blocks of PBLK so every
+(PBLK, chunk) intermediate fits VMEM.
 """
 from __future__ import annotations
 
@@ -31,10 +36,44 @@ _EDGE_EPS = 1e-5
 _IDX_BITS = 10  # cap <= 1024 slots packed in the mantissa low bits
 
 
-def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, dir_refs, out_ref,
-                        *, chunk: int, pblk: int):
-    """One tile: tri_refs 9x (1, 1, cap) VMEM planes, dir_refs 3x (1, 1, P),
-    out_ref (1, 1, P) int32 packed winners."""
+def _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs, ci, chunk, count):
+    """Möller–Trumbore for one (pblk, chunk) block; returns t,u,v,hit,slot."""
+    sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
+    v0x, v0y, v0z = sl(tri_refs[0]), sl(tri_refs[1]), sl(tri_refs[2])
+    e1x, e1y, e1z = sl(tri_refs[3]), sl(tri_refs[4]), sl(tri_refs[5])
+    e2x, e2y, e2z = sl(tri_refs[6]), sl(tri_refs[7]), sl(tri_refs[8])
+
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    e2q = e2x * qx + e2y * qy + e2z * qz  # (1,chunk)
+
+    px = dy * e2z - dz * e2y  # (pblk, chunk)
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
+                    1.0 / jnp.where(det == 0.0, 1.0, det))
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = e2q * inv
+    slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + ci * chunk
+    hit = (
+        (jnp.abs(det) >= _EPS)
+        & (u >= -_EDGE_EPS)
+        & (v >= -_EDGE_EPS)
+        & (u + v <= 1.0 + _EDGE_EPS)
+        & (t > _EPS)
+        & (slot < count)
+    )
+    return t, u, v, hit, slot
+
+
+def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
+                        out_refs, *, chunk: int, pblk: int):
+    """One tile. tri_refs 9x (1,1,cap) f32, tid_ref (1,1,cap) int32 face ids,
+    dir_refs 3x (1,1,P), out_refs = (packed, t, u, v, face)."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
     cap = tri_refs[0].shape[2]
@@ -51,49 +90,50 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, dir_refs, out_ref,
         int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
 
+    packed_out, t_out, u_out, v_out, f_out = out_refs
+
     for pb in range(P // pblk):
-        dx = dir_refs[0][0, 0, pb * pblk : (pb + 1) * pblk][:, None]  # (pblk,1)
-        dy = dir_refs[1][0, 0, pb * pblk : (pb + 1) * pblk][:, None]
-        dz = dir_refs[2][0, 0, pb * pblk : (pb + 1) * pblk][:, None]
+        pslice = slice(pb * pblk, (pb + 1) * pblk)
+        dx = dir_refs[0][0, 0, pslice][:, None]  # (pblk,1)
+        dy = dir_refs[1][0, 0, pslice][:, None]
+        dz = dir_refs[2][0, 0, pslice][:, None]
 
-        def chunk_body(ci, best):
-            sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
-            v0x, v0y, v0z = sl(tri_refs[0]), sl(tri_refs[1]), sl(tri_refs[2])
-            e1x, e1y, e1z = sl(tri_refs[3]), sl(tri_refs[4]), sl(tri_refs[5])
-            e2x, e2y, e2z = sl(tri_refs[6]), sl(tri_refs[7]), sl(tri_refs[8])
-
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            e2q = e2x * qx + e2y * qy + e2z * qz  # (1,chunk)
-
-            px = dy * e2z - dz * e2y  # (pblk, chunk)
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
-                            1.0 / jnp.where(det == 0.0, 1.0, det))
-            u = (tvx * px + tvy * py + tvz * pz) * inv
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = e2q * inv
-            slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + ci * chunk
-            hit = (
-                (jnp.abs(det) >= _EPS)
-                & (u >= -_EDGE_EPS)
-                & (v >= -_EDGE_EPS)
-                & (u + v <= 1.0 + _EDGE_EPS)
-                & (t > _EPS)
-                & (slot < count)
-            )
+        def find_body(ci, best):
+            t, u, v, hit, slot = _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs,
+                                           ci, chunk, count)
             tt = jnp.where(hit, t, _BIG)
             ti = jax.lax.bitcast_convert_type(tt, jnp.int32)
             packed = (ti & ~mask_low) | slot
             return jnp.minimum(best, jnp.min(packed, axis=1))
 
-        init = jnp.full((pblk,), big_packed, jnp.int32)
-        best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-        out_ref[0, 0, pb * pblk : (pb + 1) * pblk] = best
+        best = jax.lax.fori_loop(
+            0, n_chunks, find_body, jnp.full((pblk,), big_packed, jnp.int32)
+        )
+        best_slot = (best & mask_low)[:, None]  # (pblk,1)
+
+        def extract_body(ci, acc):
+            t_acc, u_acc, v_acc, f_acc = acc
+            t, u, v, hit, slot = _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs,
+                                           ci, chunk, count)
+            win = hit & (slot == best_slot)  # exactly one lane per pixel
+            tid = tid_ref[0, 0, pl.ds(ci * chunk, chunk)][None, :]
+            t_acc = t_acc + jnp.sum(jnp.where(win, t, 0.0), axis=1)
+            u_acc = u_acc + jnp.sum(jnp.where(win, u, 0.0), axis=1)
+            v_acc = v_acc + jnp.sum(jnp.where(win, v, 0.0), axis=1)
+            f_acc = f_acc + jnp.sum(jnp.where(win, tid, 0), axis=1)
+            return t_acc, u_acc, v_acc, f_acc
+
+        z1 = jnp.zeros((pblk,), jnp.float32)
+        t_b, u_b, v_b, f_b = jax.lax.fori_loop(
+            0, n_chunks, extract_body,
+            (z1, z1, z1, jnp.zeros((pblk,), jnp.int32)),
+        )
+        valid = best < big_packed
+        packed_out[0, 0, pslice] = best
+        t_out[0, 0, pslice] = jnp.where(valid, t_b, _BIG)
+        u_out[0, 0, pslice] = u_b
+        v_out[0, 0, pslice] = v_b
+        f_out[0, 0, pslice] = jnp.where(valid, f_b, -1)
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret"))
@@ -101,19 +141,18 @@ def raster_tiles_pallas(
     counts: jax.Array,        # (T,) int32
     origin: jax.Array,        # (3,)
     tri_planes: tuple,        # 9x (T, cap) f32 — gathered per-tile SoA planes
+    tile_tris: jax.Array,     # (T, cap) int32 — face ids per slot
     dir_planes: tuple,        # 3x (T, P) f32
     chunk: int = 128,
     pblk: int = 1024,
     interpret: bool = False,
 ):
-    """-> packed winners (T, P) int32 (t bits | cap-slot in low 10 bits).
-
-    Separate plane arrays (not a stacked (T,9,cap)): stacking/transposing
-    small minor dims costs tens of ms on TPU; plane-wise gathers are cheap."""
+    """-> (valid (T,P) bool, t (T,P) f32, u (T,P), v (T,P), face (T,P) int32)."""
     T, cap = tri_planes[0].shape
     P = dir_planes[0].shape[1]
     assert cap <= (1 << _IDX_BITS), cap
     tri3 = [a.reshape(T, 1, cap) for a in tri_planes]
+    tid3 = tile_tris.reshape(T, 1, cap)
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -122,34 +161,42 @@ def raster_tiles_pallas(
             pl.BlockSpec((1, 3), lambda t, c: (0, 0), memory_space=pltpu.SMEM),
             *[pl.BlockSpec((1, 1, cap), lambda t, c: (t, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(9)],
+            pl.BlockSpec((1, 1, cap), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             *[pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
         ],
-        out_specs=pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(5)
+        ),
     )
 
     def kernel(counts_ref, origin_ref, *refs):
-        tri_refs, dir_refs, out_ref = refs[:9], refs[9:12], refs[12]
+        tri_refs = refs[:9]
+        tid_ref = refs[9]
+        dir_refs = refs[10:13]
+        out_refs = refs[13:18]
         _raster_tile_kernel(
-            counts_ref, origin_ref, tri_refs, dir_refs, out_ref,
+            counts_ref, origin_ref, tri_refs, tid_ref, dir_refs, out_refs,
             chunk=chunk, pblk=pblk,
         )
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),    # packed
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),  # t
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),  # u
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),  # v
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),    # face
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts.astype(jnp.int32), origin.reshape(1, 3), *tri3, *dir3)
-    return out[:, 0, :]
-
-
-def unpack_winners(packed: jax.Array):
-    """(T,P) packed -> (valid (T,P), slot (T,P) int32)."""
-    mask_low = jnp.int32((1 << _IDX_BITS) - 1)
+    )(counts.astype(jnp.int32), origin.reshape(1, 3), *tri3, tid3, *dir3)
+    packed, t, u, v, f = (o[:, 0, :] for o in outs)
     big_packed = jnp.int32(
         int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
     valid = packed < big_packed
-    return valid, packed & mask_low
+    return valid, t, u, v, f

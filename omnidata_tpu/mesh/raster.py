@@ -329,9 +329,10 @@ def render_view_pallas(
     chunk: int = 128,
     interpret: bool = False,
 ) -> Fragments:
-    """render_view with the Pallas tile kernel (dynamic per-tile trip counts;
-    see pallas_raster.py). Identical outputs to render_view."""
-    from .pallas_raster import raster_tiles_pallas, unpack_winners
+    """render_view with the Pallas tile kernel (dynamic per-tile trip counts
+    + in-kernel winner extraction; see pallas_raster.py). Identical outputs
+    to render_view."""
+    from .pallas_raster import raster_tiles_pallas
 
     res = camera.resolution
     n1d = res // tile
@@ -350,30 +351,10 @@ def render_view_pallas(
     tri_planes = tuple(a[tile_tris] for a in soa)  # 9x (T,cap)
     dir_planes = (tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2])
 
-    packed = raster_tiles_pallas(
-        counts, origin, tri_planes, dir_planes, chunk=chunk, interpret=interpret
+    valid, t, u, v, f = raster_tiles_pallas(
+        counts, origin, tri_planes, tile_tris, dir_planes,
+        chunk=chunk, interpret=interpret,
     )
-    valid, slot = unpack_winners(packed)
-    f = jnp.take_along_axis(tile_tris, slot, axis=1)
-    f = jnp.where(valid, f, -1)
-
-    dx, dy, dz = tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2]
-    ox, oy, oz = origin[0], origin[1], origin[2]
-    fi = jnp.maximum(f, 0)
-    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (a[fi] for a in soa)
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
-    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-    qx = tvy * e1z - tvz * e1y
-    qy = tvz * e1x - tvx * e1z
-    qz = tvx * e1y - tvy * e1x
-    u = (tvx * px + tvy * py + tvz * pz) * inv
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    t = jnp.where(valid, t, _BIG)
     uv = jnp.stack([u, v], -1)
 
     def untile(x):
