@@ -32,7 +32,7 @@ from ..cues.encode import (
 from ..cues.keypoints2d import keypoints2d
 from ..cues.reshading import reshade
 from ..mesh.mesh import TriangleMesh
-from ..mesh.raster import render_view
+from ..mesh.raster import render_view, render_view_pallas
 from ..mesh.shade import (
     face_labels,
     normals_to_camera,
@@ -57,23 +57,31 @@ DEVICE_MODALITIES = (
 
 @partial(
     jax.jit,
-    static_argnames=("tile", "cap", "chunk", "parallel_tiles", "modalities"),
+    static_argnames=("tile", "cap", "chunk", "parallel_tiles", "modalities",
+                     "use_pallas"),
 )
 def annotate_view(
     camera: Camera,
     mesh: TriangleMesh,
     curvature_mesh: TriangleMesh | None = None,
     tile: int = 64,
-    cap: int = 2048,
+    cap: int = 1024,
     chunk: int = 128,
     parallel_tiles: bool = False,
     modalities: tuple = DEVICE_MODALITIES,
+    use_pallas: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Render one view and produce all requested device modalities.
 
     curvature_mesh: same geometry with curvature RG vertex colors baked
-    (cues.curvature.bake_curvature_colors) — shares the Fragments."""
-    frag = render_view(camera, mesh, tile, cap, chunk, parallel_tiles)
+    (cues.curvature.bake_curvature_colors) — shares the Fragments.
+    use_pallas: None = auto (Pallas kernel on TPU, XLA elsewhere)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        frag = render_view_pallas(camera, mesh, tile, cap, chunk)
+    else:
+        frag = render_view(camera, mesh, tile, cap, chunk, parallel_tiles)
     out: dict[str, Any] = {}
 
     if "depth_zbuffer" in modalities or "edge_occlusion" in modalities:
