@@ -8,3 +8,10 @@ from .scene_metadata import (
     CenterVisibleMultiviewSampler,
 )
 from .splits import get_splits, subset_ladder, flat_split_to_spaces, SUBSETS
+from .segment_instance import (
+    random_colors,
+    extract_instance_masks,
+    masks_to_bboxes,
+    fragments_to_instances,
+    overlay_instances,
+)

@@ -329,3 +329,30 @@ def test_splits_csv(tmp_path):
     assert subs["debug"] <= subs["fullplus"]
     flat = flat_split_to_spaces(s, subs)
     assert "tiny-train" in flat
+
+
+def test_segment_instance_helpers():
+    from omnidata_tpu.data import (
+        extract_instance_masks,
+        fragments_to_instances,
+        masks_to_bboxes,
+        overlay_instances,
+        random_colors,
+    )
+
+    labels = np.zeros((8, 8), np.int32)
+    labels[1:3, 1:4] = 5
+    labels[5:8, 5:8] = 9
+    ids, masks = extract_instance_masks(labels)
+    np.testing.assert_array_equal(ids, [5, 9])
+    bb = masks_to_bboxes(masks)
+    np.testing.assert_array_equal(bb[0], [1, 1, 3, 4])
+    cols = random_colors(5)
+    assert cols.shape == (5, 3) and len(np.unique(cols, axis=0)) == 5
+    face_ids = np.array([[0, 1], [2, -1]])
+    f2i = np.array([7, 7, 8])
+    inst = fragments_to_instances(face_ids, f2i)
+    np.testing.assert_array_equal(inst, [[7, 7], [8, 0]])
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    out = overlay_instances(rgb, labels)
+    assert out[2, 2].sum() > 0 and out[0, 0].sum() == 0
