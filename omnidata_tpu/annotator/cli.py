@@ -24,6 +24,7 @@ import numpy as np
 
 TASKS_ALL = [
     "points",
+    "trajectory",
     "rgb",
     "normal",
     "depth_zbuffer",
@@ -95,6 +96,45 @@ def run_points(model_path: str, settings) -> None:
     save_camera_poses(model_path, cams)
     n_views = sum(len(v) for v in infos)
     print(f"[points] {len(infos)} points, {n_views} views -> {model_path}/point_info")
+
+
+def run_trajectory(model_path: str, settings) -> None:
+    """Smooth-trajectory frames for each point (CREATE_TRAJECTORY parity:
+    generate_points_smooth_trajectory.py): interpolated fixated frames with
+    camera_uuid = zero-padded frame index saved into point_info."""
+    import numpy as np_
+
+    from ..core.rotations import matrix_to_euler_xyz, matrix_to_quat
+    from ..sampling import load_point_info, save_point_info
+    import jax.numpy as jnp
+    from ..sampling.trajectory import interpolate_trajectory
+
+    infos = load_point_info(model_path)
+    out = []
+    for views in infos:
+        if len(views) < 2:
+            continue
+        pt = np_.asarray(views[0]["point_location"], np_.float32)
+        cams = np_.stack([np_.asarray(v["camera_location"], np_.float32) for v in views])
+        locs, Rs = interpolate_trajectory(cams, pt)
+        frames = []
+        for t, (loc, R) in enumerate(zip(locs, Rs)):
+            v = dict(views[0])
+            v["camera_uuid"] = str(t).zfill(4)
+            v["view_id"] = t
+            v["camera_location"] = [float(x) for x in loc]
+            v["camera_rotation_final"] = [
+                float(x) for x in np_.asarray(matrix_to_euler_xyz(jnp.asarray(R)))
+            ]
+            v["camera_rotation_final_quaternion"] = [
+                float(x) for x in np_.asarray(matrix_to_quat(jnp.asarray(R)))
+            ]
+            v["camera_distance"] = float(np_.linalg.norm(pt - loc))
+            frames.append(v)
+        out.append(frames)
+    save_point_info(model_path, out)
+    n = sum(len(v) for v in out)
+    print(f"[trajectory] {len(out)} trajectories, {n} frames")
 
 
 def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
@@ -241,6 +281,8 @@ def main(argv=None):
     t0 = time.time()
     if "points" in tasks:
         run_points(args.model_path, settings)
+    if args.task == "trajectory" or (settings.CREATE_TRAJECTORY and "points" in tasks):
+        run_trajectory(args.model_path, settings)
     device = [t for t in tasks if t in DEVICE_TASKS]
     if device:
         run_device_tasks(args.model_path, device, settings)

@@ -37,6 +37,7 @@ from ..mesh.shade import (
     face_labels,
     normals_to_camera,
     smooth_normals_world,
+    textured_colors,
     vertex_colors,
 )
 
@@ -103,8 +104,11 @@ def annotate_view(
         out["reshading"] = img_as_uint8(reshade(frag.t, n_world, dirs, frag.valid))
 
     needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
-    if needs_rgb and mesh.vertex_colors is not None:
-        rgb = vertex_colors(frag, mesh)
+    if needs_rgb and (mesh.vertex_colors is not None or mesh.texture is not None):
+        if mesh.texture is not None and mesh.vertex_uvs is not None:
+            rgb = textured_colors(frag, mesh)
+        else:
+            rgb = vertex_colors(frag, mesh)
         if "rgb" in modalities:
             out["rgb"] = img_as_uint8(rgb)
         gray = jnp.mean(rgb, -1)

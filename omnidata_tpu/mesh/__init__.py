@@ -19,6 +19,7 @@ from .shade import (
     normals_to_camera,
     face_labels,
     vertex_colors,
+    textured_colors,
     hit_points_world,
 )
 from .pano import pano_rays, render_pano, pano_camera

@@ -32,6 +32,8 @@ class TriangleMesh(NamedTuple):
     face_normals: jax.Array
     vertex_colors: jax.Array | None = None
     face_labels: jax.Array | None = None
+    vertex_uvs: jax.Array | None = None  # (V,2) in [0,1]
+    texture: jax.Array | None = None     # (H,W,3) in [0,1]
     num_faces: int = 0
 
     @property
@@ -62,6 +64,8 @@ def from_arrays(
     faces: np.ndarray,
     vertex_colors: np.ndarray | None = None,
     face_labels: np.ndarray | None = None,
+    vertex_uvs: np.ndarray | None = None,
+    texture: np.ndarray | None = None,
     pad_multiple: int = 256,
 ) -> TriangleMesh:
     """Build a padded device mesh from host arrays."""
@@ -91,6 +95,12 @@ def from_arrays(
             np.asarray(vertex_colors, np.float32)
         ),
         face_labels=None if fl_p is None else jnp.asarray(fl_p),
+        vertex_uvs=None if vertex_uvs is None else jnp.asarray(
+            np.asarray(vertex_uvs, np.float32)
+        ),
+        texture=None if texture is None else jnp.asarray(
+            np.asarray(texture, np.float32)
+        ),
         num_faces=nf,
     )
 
@@ -194,19 +204,54 @@ def uv_sphere(radius: float = 1.0, center=(0.0, 0.0, 0.0), n_lat: int = 24,
 # Loaders (host side)
 # ---------------------------------------------------------------------------
 
-def load_obj(path: str, pad_multiple: int = 256) -> TriangleMesh:
-    """Minimal OBJ: v / f lines; polygons fan-triangulated; 1-based indices."""
-    verts, faces = [], []
+def load_obj(path: str, pad_multiple: int = 256,
+             texture_path: str | None = None) -> TriangleMesh:
+    """OBJ: v / vt / f lines; polygons fan-triangulated; 1-based indices.
+
+    Texture coordinates are carried per-vertex (split vertices with
+    conflicting uvs keep the first one — sufficient for atlas-textured scan
+    meshes, create_rgb_images_textured.py parity). texture_path (or a .png
+    next to the obj) loads the texture image."""
+    import os as _os
+
+    verts, faces, uvs = [], [], []
+    uv_of_vertex: dict = {}
     with open(path) as fh:
         for line in fh:
             if line.startswith("v "):
                 parts = line.split()
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append([float(parts[1]), float(parts[2])])
             elif line.startswith("f "):
-                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
-                for i in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[i], idx[i + 1]])
-    return from_arrays(np.asarray(verts), np.asarray(faces), pad_multiple=pad_multiple)
+                vi, ti = [], []
+                for ptok in line.split()[1:]:
+                    comps = ptok.split("/")
+                    vi.append(int(comps[0]) - 1)
+                    ti.append(int(comps[1]) - 1 if len(comps) > 1 and comps[1] else None)
+                for i in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[i], vi[i + 1]])
+                for v, t in zip(vi, ti):
+                    if t is not None and v not in uv_of_vertex:
+                        uv_of_vertex[v] = t
+    vertex_uvs = None
+    if uvs and uv_of_vertex:
+        vertex_uvs = np.zeros((len(verts), 2), np.float32)
+        for v, t in uv_of_vertex.items():
+            vertex_uvs[v] = uvs[t]
+    texture = None
+    tp = texture_path
+    if tp is None:
+        cand = _os.path.splitext(path)[0] + ".png"
+        tp = cand if _os.path.exists(cand) else None
+    if tp:
+        from PIL import Image
+
+        texture = np.asarray(Image.open(tp).convert("RGB"), np.float32) / 255.0
+    return from_arrays(np.asarray(verts), np.asarray(faces),
+                       vertex_uvs=vertex_uvs, texture=texture,
+                       pad_multiple=pad_multiple)
 
 
 def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:

@@ -72,3 +72,28 @@ def hit_points_world(frag: Fragments, camera: Camera) -> jax.Array:
 
     origin, dirs = camera_rays(camera)
     return origin + frag.t[..., None] * dirs
+
+
+def textured_colors(frag: Fragments, mesh: TriangleMesh,
+                    background: float = 0.0) -> jax.Array:
+    """RGB from the mesh texture atlas via interpolated uvs + bilinear sample
+    (reference: create_rgb_images_textured.py). Requires vertex_uvs+texture."""
+    uv = interpolate_vertex_attribute(frag, mesh, mesh.vertex_uvs)  # (H,W,2)
+    tex = mesh.texture
+    th, tw = tex.shape[0], tex.shape[1]
+    # uv origin bottom-left (OBJ convention) -> image row
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
+    y = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (th - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    c = (
+        tex[y0, x0] * (1 - wx) * (1 - wy)
+        + tex[y0, x1] * wx * (1 - wy)
+        + tex[y1, x0] * (1 - wx) * wy
+        + tex[y1, x1] * wx * wy
+    )
+    return jnp.where(frag.valid[..., None], c, background)

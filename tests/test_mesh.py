@@ -241,3 +241,30 @@ def test_pallas_raster_matches_xla_interpret():
     m = np.asarray(a.valid)
     np.testing.assert_array_equal(np.asarray(a.face)[m], np.asarray(b.face)[m])
     np.testing.assert_allclose(np.asarray(b.t)[m], np.asarray(a.t)[m], atol=1e-4)
+
+
+def test_textured_rgb(tmp_path):
+    from omnidata_tpu.mesh import load_obj, textured_colors
+    from PIL import Image
+
+    # a quad with a 2x2 checker texture
+    tex = np.zeros((64, 64, 3), np.uint8)
+    tex[:32, :32] = (255, 0, 0)
+    tex[32:, 32:] = (0, 255, 0)
+    Image.fromarray(tex).save(tmp_path / "m.png")
+    (tmp_path / "m.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n"
+    )
+    mesh = load_obj(str(tmp_path / "m.obj"))
+    assert mesh.texture is not None and mesh.vertex_uvs is not None
+    cam = _camera([0.5, 0.5, 2.0], [0.5, 0.5, 0.0], fov=0.8)
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    img = np.asarray(textured_colors(frag, mesh))
+    m = np.asarray(frag.valid)
+    assert m.any()
+    # both checker colors visible
+    reds = (img[..., 0] > 0.5) & m
+    greens = (img[..., 1] > 0.5) & m
+    assert reds.any() and greens.any()
