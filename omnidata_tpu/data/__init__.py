@@ -15,3 +15,4 @@ from .segment_instance import (
     fragments_to_instances,
     overlay_instances,
 )
+from .components import COMPONENTS, Component, make_component_dataset, normal_world_to_cam, NYU40_CLASSES

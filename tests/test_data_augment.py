@@ -356,3 +356,19 @@ def test_segment_instance_helpers():
     rgb = np.zeros((8, 8, 3), np.uint8)
     out = overlay_instances(rgb, labels)
     assert out[2, 2].sum() > 0 and out[0, 0].sum() == 0
+
+
+def test_component_registry(fake_dataset_root):
+    from omnidata_tpu.data import COMPONENTS, make_component_dataset, normal_world_to_cam
+
+    assert COMPONENTS["hypersim"].random_crop
+    ds = make_component_dataset(
+        "replica", str(fake_dataset_root),
+        tasks=("rgb", "normal", "depth_zbuffer"), random_flip=False,
+    )
+    assert len(ds) == 6
+    with pytest.raises(KeyError):
+        make_component_dataset("nope", ".")
+    # world->cam normal rotation roundtrips with identity
+    n = np.random.RandomState(0).rand(3, 4, 4).astype(np.float32)
+    np.testing.assert_allclose(normal_world_to_cam(n, np.eye(3)), n, atol=1e-6)
