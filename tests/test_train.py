@@ -188,3 +188,18 @@ def test_tp_param_sharding_rules():
     assert sh["block0"]["attn"]["proj"]["kernel"].spec == jax.sharding.PartitionSpec("model", None)
     assert sh["block0"]["mlp"]["fc2"]["kernel"].spec == jax.sharding.PartitionSpec("model", None)
     assert sh["head"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+def test_crash_dump_and_validation_images(tmp_path):
+    from omnidata_tpu.train import save_crash_dump, save_validation_images
+
+    params = {"w": jnp.ones((3,))}
+    batch = {"rgb": jnp.zeros((1, 3, 4, 4))}
+    d = save_crash_dump(str(tmp_path / "crash"), params, batch, ValueError("boom"))
+    assert os.path.exists(os.path.join(d, "crash_model.pkl"))
+    assert os.path.exists(os.path.join(d, "crash_batch.pkl"))
+
+    rgb = np.random.RandomState(0).rand(2, 3, 8, 8)
+    pred = np.random.RandomState(1).rand(2, 1, 8, 8)
+    save_validation_images(str(tmp_path / "val"), 100, rgb, pred, pred)
+    assert os.path.exists(str(tmp_path / "val" / "step100_sample0.png"))

@@ -101,7 +101,14 @@ def main(argv=None):
                 }
                 b = jax.device_put(b, {k: b_shard for k in b})
                 key, k = jax.random.split(key)
-                state, metrics = step_fn(state, b, k)
+                try:
+                    state, metrics = step_fn(state, b, k)
+                except Exception as e:  # crash dump (train_*.py:341-348)
+                    from omnidata_tpu.train import save_crash_dump
+
+                    d = save_crash_dump(ckpt_dir, state.params, b, e)
+                    print(f"saved crash dump to {d}")
+                    raise
                 step += 1
                 if step % int(cfg.get("log_step", 100)) == 0:
                     m = {k: float(v) for k, v in metrics.items()}
