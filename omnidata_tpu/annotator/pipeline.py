@@ -41,6 +41,27 @@ from ..mesh.shade import (
     vertex_colors,
 )
 
+def _sample_texture(uv, tex, valid):
+    """Bilinear texture sample of interpolated uvs (shade.textured_colors
+    formula, from kernel-interpolated uvs)."""
+    th, tw = tex.shape[0], tex.shape[1]
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
+    y = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (th - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    c = (
+        tex[y0, x0] * (1 - wx) * (1 - wy)
+        + tex[y0, x1] * wx * (1 - wy)
+        + tex[y1, x0] * (1 - wx) * wy
+        + tex[y1, x1] * wx * wy
+    )
+    return jnp.where(valid[..., None], c, 0.0)
+
+
 DEVICE_MODALITIES = (
     "depth_zbuffer",
     "depth_euclidean",
@@ -79,8 +100,39 @@ def annotate_view(
     use_pallas: None = auto (Pallas kernel on TPU, XLA elsewhere)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    needs_normals = "normal" in modalities or "reshading" in modalities
+    needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
+    has_colors = mesh.vertex_colors is not None
+    has_texture = mesh.texture is not None and mesh.vertex_uvs is not None
+
+    attr_img = None
+    attr_slices: dict[str, Any] = {}
     if use_pallas:
-        frag = render_view_pallas(camera, mesh, tile, cap, chunk)
+        # fuse attribute interpolation into the kernel's winner extraction
+        cols = []
+        if needs_normals:
+            attr_slices["normal"] = slice(len(cols) * 0, 3)
+            cols.append(mesh.vertex_normals)
+        if needs_rgb and has_texture:
+            start = sum(c.shape[1] for c in cols)
+            attr_slices["uv"] = slice(start, start + 2)
+            cols.append(mesh.vertex_uvs)
+        elif needs_rgb and has_colors:
+            start = sum(c.shape[1] for c in cols)
+            attr_slices["rgb"] = slice(start, start + 3)
+            cols.append(mesh.vertex_colors)
+        if "principal_curvature" in modalities and curvature_mesh is not None:
+            start = sum(c.shape[1] for c in cols)
+            attr_slices["curv"] = slice(start, start + 3)
+            cols.append(curvature_mesh.vertex_colors)
+        vertex_attrs = jnp.concatenate(cols, -1) if cols else None
+        if vertex_attrs is not None:
+            frag, attr_img = render_view_pallas(
+                camera, mesh, tile, cap, chunk, vertex_attrs=vertex_attrs
+            )
+        else:
+            frag = render_view_pallas(camera, mesh, tile, cap, chunk)
     else:
         frag = render_view(camera, mesh, tile, cap, chunk, parallel_tiles)
     out: dict[str, Any] = {}
@@ -93,8 +145,11 @@ def annotate_view(
     if "mask_valid" in modalities:
         out["mask_valid"] = mask_valid_image(frag.valid)
 
-    needs_normals = "normal" in modalities or "reshading" in modalities
-    if needs_normals:
+    if needs_normals and attr_img is not None:
+        n = attr_img[..., attr_slices["normal"]]
+        norm = jnp.sqrt(jnp.sum(n * n, -1, keepdims=True))
+        n_world = n / jnp.maximum(norm, 1e-12)
+    elif needs_normals:
         n_world = smooth_normals_world(frag, mesh)
     if "normal" in modalities:
         n_cam = normals_to_camera(n_world, camera)
@@ -103,9 +158,17 @@ def annotate_view(
         _, dirs = camera_rays(camera)
         out["reshading"] = img_as_uint8(reshade(frag.t, n_world, dirs, frag.valid))
 
-    needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
-    if needs_rgb and (mesh.vertex_colors is not None or mesh.texture is not None):
-        if mesh.texture is not None and mesh.vertex_uvs is not None:
+    if needs_rgb and (has_colors or has_texture):
+        if attr_img is not None and "uv" in attr_slices:
+            rgb = _sample_texture(
+                attr_img[..., attr_slices["uv"]], mesh.texture, frag.valid
+            )
+        elif attr_img is not None and "rgb" in attr_slices:
+            rgb = jnp.where(
+                frag.valid[..., None],
+                jnp.clip(attr_img[..., attr_slices["rgb"]], 0.0, 1.0), 0.0,
+            )
+        elif has_texture:
             rgb = textured_colors(frag, mesh)
         else:
             rgb = vertex_colors(frag, mesh)
@@ -118,7 +181,16 @@ def annotate_view(
             out["keypoints2d"] = img_as_uint16(jnp.clip(keypoints2d(gray), 0.0, 1.0))
 
     if "principal_curvature" in modalities and curvature_mesh is not None:
-        out["principal_curvature"] = img_as_uint8(vertex_colors(frag, curvature_mesh))
+        if attr_img is not None and "curv" in attr_slices:
+            cc = jnp.where(
+                frag.valid[..., None],
+                jnp.clip(attr_img[..., attr_slices["curv"]], 0.0, 1.0), 0.0,
+            )
+            out["principal_curvature"] = img_as_uint8(cc)
+        else:
+            out["principal_curvature"] = img_as_uint8(
+                vertex_colors(frag, curvature_mesh)
+            )
 
     if "semantic" in modalities and mesh.face_labels is not None:
         out["semantic"] = face_labels(frag, mesh, background=0).astype(jnp.uint8)

@@ -71,9 +71,10 @@ def _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs, ci, chunk, count):
 
 
 def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
-                        out_refs, *, chunk: int, pblk: int):
+                        attr_refs, out_refs, *, chunk: int, pblk: int):
     """One tile. tri_refs 9x (1,1,cap) f32, tid_ref (1,1,cap) int32 face ids,
-    dir_refs 3x (1,1,P), out_refs = (packed, t, u, v, face)."""
+    dir_refs 3x (1,1,P), attr_refs 3*C x (1,1,cap) corner-value planes
+    (a0,a1,a2 per channel), out_refs = (packed, t, u, v, face, *C attrs)."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
     cap = tri_refs[0].shape[2]
@@ -90,7 +91,9 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
         int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
 
-    packed_out, t_out, u_out, v_out, f_out = out_refs
+    packed_out, t_out, u_out, v_out, f_out = out_refs[:5]
+    attr_outs = out_refs[5:]
+    n_attr = len(attr_outs)
 
     for pb in range(P // pblk):
         pslice = slice(pb * pblk, (pb + 1) * pblk)
@@ -112,7 +115,7 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
         best_slot = (best & mask_low)[:, None]  # (pblk,1)
 
         def extract_body(ci, acc):
-            t_acc, u_acc, v_acc, f_acc = acc
+            t_acc, u_acc, v_acc, f_acc, a_accs = acc
             t, u, v, hit, slot = _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs,
                                            ci, chunk, count)
             win = hit & (slot == best_slot)  # exactly one lane per pixel
@@ -121,12 +124,23 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
             u_acc = u_acc + jnp.sum(jnp.where(win, u, 0.0), axis=1)
             v_acc = v_acc + jnp.sum(jnp.where(win, v, 0.0), axis=1)
             f_acc = f_acc + jnp.sum(jnp.where(win, tid, 0), axis=1)
-            return t_acc, u_acc, v_acc, f_acc
+            # barycentric attribute interpolation for the winner lane
+            w0 = 1.0 - u - v
+            new_a = []
+            for c in range(n_attr):
+                sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
+                a0 = sl(attr_refs[3 * c])
+                a1 = sl(attr_refs[3 * c + 1])
+                a2 = sl(attr_refs[3 * c + 2])
+                val = w0 * a0 + u * a1 + v * a2
+                new_a.append(a_accs[c] + jnp.sum(jnp.where(win, val, 0.0), axis=1))
+            return t_acc, u_acc, v_acc, f_acc, tuple(new_a)
 
         z1 = jnp.zeros((pblk,), jnp.float32)
-        t_b, u_b, v_b, f_b = jax.lax.fori_loop(
+        t_b, u_b, v_b, f_b, a_b = jax.lax.fori_loop(
             0, n_chunks, extract_body,
-            (z1, z1, z1, jnp.zeros((pblk,), jnp.int32)),
+            (z1, z1, z1, jnp.zeros((pblk,), jnp.int32),
+             tuple(jnp.zeros((pblk,), jnp.float32) for _ in range(n_attr))),
         )
         valid = best < big_packed
         packed_out[0, 0, pslice] = best
@@ -134,6 +148,8 @@ def _raster_tile_kernel(counts_ref, origin_ref, tri_refs, tid_ref, dir_refs,
         u_out[0, 0, pslice] = u_b
         v_out[0, 0, pslice] = v_b
         f_out[0, 0, pslice] = jnp.where(valid, f_b, -1)
+        for c in range(n_attr):
+            attr_outs[c][0, 0, pslice] = a_b[c]
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret"))
@@ -143,17 +159,22 @@ def raster_tiles_pallas(
     tri_planes: tuple,        # 9x (T, cap) f32 — gathered per-tile SoA planes
     tile_tris: jax.Array,     # (T, cap) int32 — face ids per slot
     dir_planes: tuple,        # 3x (T, P) f32
+    attr_planes: tuple = (),  # 3*C x (T, cap) corner-value planes
     chunk: int = 128,
     pblk: int = 1024,
     interpret: bool = False,
 ):
-    """-> (valid (T,P) bool, t (T,P) f32, u (T,P), v (T,P), face (T,P) int32)."""
+    """-> (valid (T,P) bool, t, u, v (T,P) f32, face (T,P) int32,
+    attrs (T,P,C) f32 — barycentric-interpolated winner attributes)."""
     T, cap = tri_planes[0].shape
     P = dir_planes[0].shape[1]
     assert cap <= (1 << _IDX_BITS), cap
+    assert len(attr_planes) % 3 == 0
+    n_attr = len(attr_planes) // 3
     tri3 = [a.reshape(T, 1, cap) for a in tri_planes]
     tid3 = tile_tris.reshape(T, 1, cap)
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
+    attr3 = [a.reshape(T, 1, cap) for a in attr_planes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -165,10 +186,12 @@ def raster_tiles_pallas(
                          memory_space=pltpu.VMEM),
             *[pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
+            *[pl.BlockSpec((1, 1, cap), lambda t, c: (t, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(len(attr3))],
         ],
         out_specs=tuple(
             pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM) for _ in range(5)
+                         memory_space=pltpu.VMEM) for _ in range(5 + n_attr)
         ),
     )
 
@@ -176,10 +199,11 @@ def raster_tiles_pallas(
         tri_refs = refs[:9]
         tid_ref = refs[9]
         dir_refs = refs[10:13]
-        out_refs = refs[13:18]
+        attr_refs = refs[13 : 13 + 3 * n_attr]
+        out_refs = refs[13 + 3 * n_attr :]
         _raster_tile_kernel(
-            counts_ref, origin_ref, tri_refs, tid_ref, dir_refs, out_refs,
-            chunk=chunk, pblk=pblk,
+            counts_ref, origin_ref, tri_refs, tid_ref, dir_refs, attr_refs,
+            out_refs, chunk=chunk, pblk=pblk,
         )
 
     outs = pl.pallas_call(
@@ -190,13 +214,32 @@ def raster_tiles_pallas(
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),  # u
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),  # v
             jax.ShapeDtypeStruct((T, 1, P), jnp.int32),    # face
+            *[jax.ShapeDtypeStruct((T, 1, P), jnp.float32) for _ in range(n_attr)],
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts.astype(jnp.int32), origin.reshape(1, 3), *tri3, tid3, *dir3)
-    packed, t, u, v, f = (o[:, 0, :] for o in outs)
+    )(counts.astype(jnp.int32), origin.reshape(1, 3), *tri3, tid3, *dir3, *attr3)
+    packed, t, u, v, f = (o[:, 0, :] for o in outs[:5])
+    attrs = (
+        jnp.stack([o[:, 0, :] for o in outs[5:]], -1)
+        if n_attr
+        else jnp.zeros((T, P, 0))
+    )
     big_packed = jnp.int32(
         int(np.float32(_BIG).view(np.int32)) & ~((1 << _IDX_BITS) - 1)
     )
     valid = packed < big_packed
-    return valid, t, u, v, f
+    return valid, t, u, v, f, attrs
+
+
+def corner_planes(mesh_faces: jax.Array, attr: jax.Array, tile_tris: jax.Array):
+    """Per-candidate corner-value planes for a per-vertex attribute (V,C):
+    3*C planes of shape (T,cap), ordered (a0,a1,a2) per channel."""
+    out = []
+    for c in range(attr.shape[1]):
+        col = attr[:, c]
+        for k in range(3):
+            per_face = col[mesh_faces[:, k]]  # (F,)
+            out.append(per_face[tile_tris])  # (T,cap)
+    # reorder to (a0,a1,a2) per channel: currently already per channel triples
+    return tuple(out)

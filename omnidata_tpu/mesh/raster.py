@@ -328,11 +328,17 @@ def render_view_pallas(
     cap: int = 1024,
     chunk: int = 128,
     interpret: bool = False,
-) -> Fragments:
+    vertex_attrs: jax.Array | None = None,
+):
     """render_view with the Pallas tile kernel (dynamic per-tile trip counts
-    + in-kernel winner extraction; see pallas_raster.py). Identical outputs
-    to render_view."""
-    from .pallas_raster import raster_tiles_pallas
+    + in-kernel winner extraction; see pallas_raster.py). Identical Fragments
+    to render_view.
+
+    vertex_attrs: optional (V, C) per-vertex attributes interpolated for the
+    winning triangle *inside the kernel* (replaces per-pixel gather-based
+    shade.interpolate_vertex_attribute). Returns Fragments when None, else
+    (Fragments, attr_img (H, W, C))."""
+    from .pallas_raster import corner_planes, raster_tiles_pallas
 
     res = camera.resolution
     n1d = res // tile
@@ -350,9 +356,14 @@ def render_view_pallas(
     soa = _tri_soa(mesh)
     tri_planes = tuple(a[tile_tris] for a in soa)  # 9x (T,cap)
     dir_planes = (tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2])
+    attr_planes = (
+        corner_planes(mesh.faces, vertex_attrs, tile_tris)
+        if vertex_attrs is not None
+        else ()
+    )
 
-    valid, t, u, v, f = raster_tiles_pallas(
-        counts, origin, tri_planes, tile_tris, dir_planes,
+    valid, t, u, v, f, attrs = raster_tiles_pallas(
+        counts, origin, tri_planes, tile_tris, dir_planes, attr_planes,
         chunk=chunk, interpret=interpret,
     )
     uv = jnp.stack([u, v], -1)
@@ -369,7 +380,10 @@ def render_view_pallas(
     forward = camera.R @ jnp.asarray([0.0, 0.0, -1.0])
     cosang = jnp.einsum("hwc,c->hw", dirs, forward, precision="highest")
     z_img = jnp.where(valid_img, t_img * cosang, _BIG)
-    return Fragments(
+    frag = Fragments(
         t=jnp.where(valid_img, t_img, _BIG),
         z=z_img, face=f_img, bary=uv_img, valid=valid_img,
     )
+    if vertex_attrs is None:
+        return frag
+    return frag, untile(attrs)

@@ -268,3 +268,22 @@ def test_textured_rgb(tmp_path):
     reds = (img[..., 0] > 0.5) & m
     greens = (img[..., 1] > 0.5) & m
     assert reds.any() and greens.any()
+
+
+def test_pallas_attr_interpolation_matches_shade(tmp_path):
+    from omnidata_tpu.mesh import render_view_pallas, interpolate_vertex_attribute
+
+    mesh = cube(size=1.0)
+    import jax.numpy as jnp
+    attrs = jnp.concatenate([mesh.vertex_normals,
+                             jnp.asarray(np.random.RandomState(0).rand(8, 3),
+                                         jnp.float32)], -1)
+    cam = _camera([2.0, 1.5, 1.2], [0, 0, 0])
+    frag, a_img = render_view_pallas(cam, mesh, tile=32, cap=256, chunk=64,
+                                     interpret=True, vertex_attrs=attrs)
+    ref = interpolate_vertex_attribute(frag, mesh, attrs)
+    m = np.asarray(frag.valid)
+    np.testing.assert_allclose(np.asarray(a_img)[m], np.asarray(ref)[m], atol=1e-4)
+    # invalid pixels carry zeros from the kernel
+    if (~m).any():
+        assert np.abs(np.asarray(a_img)[~m]).max() < 1e-6
