@@ -161,7 +161,7 @@ def raster_tiles_pallas(
     dir_planes: tuple,        # 3x (T, P) f32
     attr_planes: tuple = (),  # 3*C x (T, cap) corner-value planes
     chunk: int = 128,
-    pblk: int = 1024,
+    pblk: int = 512,
     interpret: bool = False,
 ):
     """-> (valid (T,P) bool, t, u, v (T,P) f32, face (T,P) int32,
