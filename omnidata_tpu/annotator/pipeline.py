@@ -80,7 +80,7 @@ DEVICE_MODALITIES = (
 @partial(
     jax.jit,
     static_argnames=("tile", "cap", "chunk", "parallel_tiles", "modalities",
-                     "use_pallas"),
+                     "use_pallas", "fused_attrs"),
 )
 def annotate_view(
     camera: Camera,
@@ -92,6 +92,7 @@ def annotate_view(
     parallel_tiles: bool = False,
     modalities: tuple = DEVICE_MODALITIES,
     use_pallas: bool | None = None,
+    fused_attrs: bool = False,
 ) -> dict[str, jax.Array]:
     """Render one view and produce all requested device modalities.
 
@@ -106,9 +107,13 @@ def annotate_view(
     has_colors = mesh.vertex_colors is not None
     has_texture = mesh.texture is not None and mesh.vertex_uvs is not None
 
+    # In-kernel attribute interpolation is available but measured SLOWER than
+    # the shade path on v5e (extra attr planes + outputs raise VMEM pressure,
+    # forcing smaller pixel blocks): 23.7 vs 37.7 viewpoints/s on the bench
+    # scene. Kept opt-in for dense-candidate meshes where it may win.
     attr_img = None
     attr_slices: dict[str, Any] = {}
-    if use_pallas:
+    if use_pallas and fused_attrs:
         # fuse attribute interpolation into the kernel's winner extraction
         cols = []
         if needs_normals:
@@ -133,6 +138,8 @@ def annotate_view(
             )
         else:
             frag = render_view_pallas(camera, mesh, tile, cap, chunk)
+    elif use_pallas:
+        frag = render_view_pallas(camera, mesh, tile, cap, chunk)
     else:
         frag = render_view(camera, mesh, tile, cap, chunk, parallel_tiles)
     out: dict[str, Any] = {}
