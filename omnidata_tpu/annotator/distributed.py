@@ -1,0 +1,73 @@
+"""Multi-chip annotation: shard camera batches over the ('data',) mesh axis.
+
+The reference scales annotation by CPU process pools over views
+(create_images_nonblender_utils.py:39-67); the TPU-native equivalent shards
+the camera batch across chips with NamedSharding — every device renders its
+slice of viewpoints with the same HBM-resident (replicated) mesh, no
+collectives needed (embarrassingly parallel, like the reference).
+
+Validated on the virtual 8-device CPU mesh in tests; on a v5e-8 this is the
+path to the full-pod viewpoint throughput (single-chip bench x n_devices).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.cameras import Camera
+from .pipeline import DEVICE_MODALITIES, annotate_view
+
+
+def make_annotate_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    import numpy as np
+
+    return Mesh(np.asarray(devices[:n]), ("data",))
+
+
+def annotate_views_sharded(
+    cameras: Camera,  # batched: location (B,3), R (B,3,3), fov (B,)
+    mesh_geom,
+    curvature_mesh=None,
+    device_mesh: Mesh | None = None,
+    tile: int = 64,
+    cap: int = 1024,
+    chunk: int = 128,
+    modalities: tuple = DEVICE_MODALITIES,
+    use_pallas: bool | None = None,
+) -> dict:
+    """Annotate B viewpoints with the batch sharded over 'data'.
+
+    B must be divisible by the mesh size. Returns a dict of (B,H,W[,C])
+    label arrays, each sharded over its leading axis."""
+    device_mesh = device_mesh or make_annotate_mesh()
+    n = device_mesh.shape["data"]
+    B = cameras.location.shape[0]
+    assert B % n == 0, f"batch {B} not divisible by mesh size {n}"
+
+    batch_sharding = NamedSharding(device_mesh, P("data"))
+    cams = Camera(
+        jax.device_put(cameras.location, batch_sharding),
+        jax.device_put(cameras.R, batch_sharding),
+        jax.device_put(cameras.fov, batch_sharding),
+        cameras.resolution,
+    )
+
+    @partial(jax.jit, static_argnames=())
+    def run(loc, R, fov):
+        def one(l, r, f):
+            return annotate_view(
+                Camera(l, r, f, cameras.resolution), mesh_geom, curvature_mesh,
+                tile=tile, cap=cap, chunk=chunk, modalities=modalities,
+                use_pallas=use_pallas,
+            )
+
+        return jax.vmap(one)(loc, R, fov)
+
+    with device_mesh:
+        out = run(cams.location, cams.R, cams.fov)
+    return out

@@ -203,3 +203,29 @@ def test_crash_dump_and_validation_images(tmp_path):
     pred = np.random.RandomState(1).rand(2, 1, 8, 8)
     save_validation_images(str(tmp_path / "val"), 100, rgb, pred, pred)
     assert os.path.exists(str(tmp_path / "val" / "step100_sample0.png"))
+
+
+def test_annotate_views_sharded_8_devices():
+    """Multi-device annotation: camera batch sharded over the 8-device mesh."""
+    import jax.numpy as jnp
+
+    from omnidata_tpu.annotator import annotate_views_sharded, make_annotate_mesh
+    from omnidata_tpu.core import Camera, look_at_rotation
+    from omnidata_tpu.mesh import room
+
+    scene = room()
+    locs = np.stack(
+        [[2.0 * np.cos(a), 2.0 * np.sin(a), 1.5] for a in np.linspace(0, 6.2, 8)]
+    ).astype(np.float32)
+    Rs = jax.vmap(lambda l: look_at_rotation(l, jnp.zeros(3)))(jnp.asarray(locs))
+    cams = Camera(jnp.asarray(locs), Rs, jnp.full((8,), 1.0), 64)
+    dm = make_annotate_mesh(8)
+    out = annotate_views_sharded(
+        cams, scene, device_mesh=dm, tile=32, cap=256, chunk=64,
+        modalities=("depth_zbuffer", "mask_valid"), use_pallas=False,
+    )
+    assert out["depth_zbuffer"].shape == (8, 64, 64)
+    assert set(np.unique(np.asarray(out["mask_valid"]))) <= {0, 255}
+    # sharded over 'data'
+    sh = out["depth_zbuffer"].sharding
+    assert getattr(sh, "spec", None) is not None
