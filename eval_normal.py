@@ -1,0 +1,65 @@
+"""eval_normal.py — surface-normal evaluation driver (reference:
+paper_code/test_normal.py + oasis_eval; metrics from evaluation_metrics.py).
+
+    python eval_normal.py --data_path <annotated dir> \
+        [--checkpoint ckpt.ckpt --model dpt|unet --image_size 384]
+
+Reports mean/median angular error, % within 11.25/22.5/30 degrees, masked
+L1/MSE x100 — the OASIS table's metric suite (docs/pretrained.html:56-117).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--model", default="dpt", choices=["dpt", "unet"])
+    p.add_argument("--image_size", type=int, default=384)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_batches", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.models import create_model
+    from omnidata_tpu.train.metrics import normal_metrics
+
+    name = "surface_normal_dpt_hybrid_384" if args.model == "dpt" else "surface_normal_unet"
+    bundle = create_model(name, checkpoint=args.checkpoint)
+
+    ds = OmnidataDataset(
+        Options(
+            data_path=args.data_path,
+            tasks=("rgb", "normal", "mask_valid"),
+            image_size=args.image_size,
+            random_flip=False,
+        )
+    )
+    agg: dict = {}
+    n = 0
+    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False)):
+        if args.max_batches and i >= args.max_batches:
+            break
+        pred = bundle.apply(bundle.variables, jnp.asarray(batch["rgb"], jnp.float32))
+        pred = jnp.clip(pred, 0.0, 1.0) * 2.0 - 1.0  # [0,1] -> [-1,1]
+        target = jnp.asarray(batch["normal"], jnp.float32) * 2.0 - 1.0
+        mask = jnp.asarray(batch["mask_valid"] > 0.5)
+        m = normal_metrics(pred, target, mask)
+        for k, v in m.items():
+            agg[k] = agg.get(k, 0.0) + v
+        n += 1
+    if n == 0:
+        raise SystemExit("no complete (rgb, normal, mask_valid) samples found")
+    result = {k: v / n for k, v in agg.items()}
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ import numpy as np
 TASKS_ALL = [
     "points",
     "trajectory",
+    "pano",
     "rgb",
     "normal",
     "depth_zbuffer",
@@ -187,6 +188,58 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
                 pflr.step(f"finished img {i}/{n_imgs}")
 
 
+def run_pano(model_path: str, settings) -> None:
+    """Equirectangular panoramas at each camera location (CREATE_PANOS
+    parity: settings.py:38 2048x1024; outputs like the reference's
+    point_XXXX_view_equirectangular_domain_*.png replica assets)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from ..core.rotations import euler_xyz_to_matrix
+    from ..cues.encode import (
+        encode_depth_16bit,
+        encode_normals_color,
+        img_as_uint8,
+        save_png,
+    )
+    from ..mesh.pano import render_pano
+    from ..mesh.shade import face_labels as face_labels_fn
+    from ..mesh.shade import smooth_normals_world
+
+    mesh = find_mesh(model_path)
+    cams = json.load(open(os.path.join(model_path, "camera_poses.json")))
+    W, H = settings.PANO_RESOLUTION
+    R_level = euler_xyz_to_matrix(jnp.asarray([np.pi / 2, 0.0, 0.0]))
+    for t in ("depth_euclidean", "normal") + (("semantic",) if mesh.face_labels is not None else ()):
+        os.makedirs(os.path.join(model_path, t), exist_ok=True)
+    for cam in cams:
+        loc = jnp.asarray(cam["location"], jnp.float32)
+        frag = render_pano(loc, R_level, mesh, width=W, height=H)
+        uid = cam["camera_id"]
+        fn = lambda task, ext="png": os.path.join(
+            model_path, task,
+            f"point_{uid}_view_equirectangular_domain_{task}.{ext}",
+        )
+        save_png(fn("depth_euclidean"), np.asarray(
+            encode_depth_16bit(frag.t, frag.valid,
+                               settings.DEPTH_EUCLIDEAN_MAX_DISTANCE_METERS)))
+        n_world = smooth_normals_world(frag, mesh)
+        # pano normal colors: world-frame remap like the reference's Cycles
+        # bump-material path (create_normal_images.py:140-173)
+        col = jnp.stack([
+            0.5 - 0.5 * n_world[..., 0],
+            0.5 + 0.5 * n_world[..., 1],
+            0.5 + 0.5 * n_world[..., 2],
+        ], -1)
+        col = jnp.where(frag.valid[..., None], jnp.clip(col, 0, 1), 0.5)
+        save_png(fn("normal"), np.asarray(img_as_uint8(col)))
+        if mesh.face_labels is not None:
+            save_png(fn("semantic"), np.asarray(
+                face_labels_fn(frag, mesh, 0).astype(jnp.uint8)))
+    print(f"[pano] {len(cams)} panoramas at {W}x{H}")
+
+
 def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
     from ..cues.encode import load_png, save_png
     from ..cues.segmentation import segment_2d, segment_25d
@@ -283,6 +336,8 @@ def main(argv=None):
         run_points(args.model_path, settings)
     if args.task == "trajectory" or (settings.CREATE_TRAJECTORY and "points" in tasks):
         run_trajectory(args.model_path, settings)
+    if args.task == "pano" or (settings.CREATE_PANOS and "points" in tasks):
+        run_pano(args.model_path, settings)
     device = [t for t in tasks if t in DEVICE_TASKS]
     if device:
         run_device_tasks(args.model_path, device, settings)

@@ -50,6 +50,7 @@ def render_pano(
     origin, dirs = pano_rays(location, R, width, height)
     flat = dirs.reshape(-1, 3)
     N = flat.shape[0]
+    block = min(block, N)
     o = jnp.broadcast_to(origin, (block, 3))
 
     def body(i, acc):
