@@ -99,14 +99,21 @@ def main():
 
     kw = dict(tile=tile, cap=cap, chunk=chunk)
 
-    # warmup / compile
-    out = annotate_view(cams[0], mesh, curv, **kw)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
 
+    # warmup / compile (fetch forces real completion: block_until_ready on
+    # tunneled backends may only confirm enqueue)
+    out = annotate_view(cams[0], mesh, curv, **kw)
+    float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
+
+    # accumulate a data-dependent scalar per view so the final host fetch
+    # provably waits for every view's full computation
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.int32)
     for cam in cams[1:]:
         out = annotate_view(cam, mesh, curv, **kw)
-    jax.block_until_ready(out)
+        acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
+    _ = int(acc)  # host fetch: upper bound on all device work
     dt = time.perf_counter() - t0
     vps = n_views / dt
 
