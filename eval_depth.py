@@ -1,0 +1,58 @@
+"""eval_depth.py — depth evaluation driver (reference: paper_code/test_depth.py;
+metrics from evaluation_metrics.py:13-110: L1/MSE x100, log10, si-log,
+relative error, irmse).
+
+    python eval_depth.py --data_path <annotated dir> [--checkpoint ckpt.ckpt]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--image_size", type=int, default=384)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_batches", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.models import create_model
+    from omnidata_tpu.train.metrics import depth_metrics
+
+    bundle = create_model("depth_dpt_hybrid_384", checkpoint=args.checkpoint)
+    ds = OmnidataDataset(
+        Options(
+            data_path=args.data_path,
+            tasks=("rgb", "depth_zbuffer", "mask_valid"),
+            image_size=args.image_size,
+            random_flip=False,
+        )
+    )
+    agg: dict = {}
+    n = 0
+    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False)):
+        if args.max_batches and i >= args.max_batches:
+            break
+        rgb = jnp.asarray(batch["rgb"], jnp.float32) * 2.0 - 1.0
+        pred = jnp.clip(bundle.apply(bundle.variables, rgb), 0.0, 1.0)[:, None]
+        target = jnp.asarray(batch["depth_zbuffer"], jnp.float32)
+        mask = jnp.asarray(batch["mask_valid"] > 0.5)
+        m = depth_metrics(pred, target, mask)
+        for k, v in m.items():
+            agg[k] = agg.get(k, 0.0) + v
+        n += 1
+    if n == 0:
+        raise SystemExit("no complete (rgb, depth_zbuffer, mask_valid) samples found")
+    result = {k: v / n for k, v in agg.items()}
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

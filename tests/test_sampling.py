@@ -157,3 +157,41 @@ def test_trajectory_interpolation(scene):
     fwd /= np.linalg.norm(fwd, axis=1, keepdims=True)
     minus_z = Rs @ np.array([0.0, 0, -1])
     np.testing.assert_allclose(minus_z, fwd, atol=1e-4)
+
+
+def test_object_mode_annotation(tmp_path):
+    """SCENE=False: object on a bounding sphere (google-objects/CLEVR mode)."""
+    import os
+
+    import omnidata_tpu.annotator.cli as cli
+    from omnidata_tpu.mesh import cube
+
+    d = str(tmp_path)
+    c = cube(size=1.0)
+    v = np.asarray(c.vertices)
+    f = np.asarray(c.faces[: c.num_faces])
+    with open(os.path.join(d, "mesh.obj"), "w") as fh:
+        for vv in v:
+            fh.write(f"v {vv[0]} {vv[1]} {vv[2]}\n")
+        for ff in f:
+            fh.write(f"f {ff[0]+1} {ff[1]+1} {ff[2]+1}\n")
+    cli.main([
+        "--model_path", d, "--task", "points",
+        "with", "SCENE=False", "NUM_POINTS=2", "RESOLUTION=64",
+        "MIN_VIEWS_PER_POINT=2", "MAX_VIEWS_PER_POINT=4",
+        "MIN_NONFIXATED_AFTER_PRUNE=0",
+    ])
+    cli.main([
+        "--model_path", d, "--task", "depth_zbuffer",
+        "with", "RESOLUTION=64", "RASTER_TILE=32", "RASTER_CAP=256",
+        "RASTER_CHUNK=64",
+    ])
+    import glob
+
+    outs = glob.glob(os.path.join(d, "depth_zbuffer", "*.png"))
+    assert len(outs) >= 2
+    from PIL import Image
+
+    arr = np.asarray(Image.open(outs[0]))
+    # object mode: some pixels hit the cube (< 65535), background invalid
+    assert (arr < 65535).any() and (arr == 65535).any()
