@@ -33,7 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 _EPS = 1e-7
 _EDGE_EPS = 1e-5
-_IDX_BITS = 10  # cap <= 1024 slots packed in the mantissa low bits
+_IDX_BITS = 12  # cap <= 4096 slots packed in the mantissa low bits
+# (in-loop t ordering tolerates the 2^-11 relative mantissa corruption: the
+# winner's exact t/u/v are recomputed in the extraction pass)
 
 
 def _mt_chunk(ox, oy, oz, dx, dy, dz, tri_refs, ci, chunk, count):
