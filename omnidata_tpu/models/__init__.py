@@ -20,3 +20,4 @@ from .multitask import (
     grad_norm_weights,
 )
 from .attention_blocks import ECA, ChannelAttention, CBAM
+from .midas_net import MidasNetSmall

@@ -42,8 +42,12 @@ class UpBlock(nn.Module):
 
 
 class UNet(nn.Module):
+    """final_activation: None (default, like the reference UNet), 'relu'
+    (UNetRelu variant) or 'sigmoid' (v1 normal demo output convention)."""
+
     out_channels: int = 3
     downsample: int = 6
+    final_activation: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -65,4 +69,8 @@ class UNet(nn.Module):
         x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="last_bn")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), name="last_conv2")(x)
+        if self.final_activation == "relu":
+            x = nn.relu(x)
+        elif self.final_activation == "sigmoid":
+            x = nn.sigmoid(x)
         return x

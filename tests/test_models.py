@@ -208,3 +208,15 @@ def test_attention_blocks():
         m = cls()
         y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
         assert y.shape == x.shape
+
+
+def test_midas_net_small_and_unet_variants():
+    from omnidata_tpu.models import MidasNetSmall, UNet
+
+    x = jnp.zeros((1, 64, 64, 3))
+    m = MidasNetSmall()
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 64, 64, 1) and float(jnp.min(y)) >= 0
+    u = UNet(out_channels=3, downsample=3, final_activation="sigmoid")
+    y2 = u.apply(u.init(jax.random.PRNGKey(0), x), x)
+    assert 0.0 <= float(jnp.min(y2)) and float(jnp.max(y2)) <= 1.0
