@@ -38,6 +38,7 @@ TASKS_ALL = [
     "keypoints2d",
     "keypoints3d",
     "semantic",
+    "fragments",
     "segment_unsup2d",
     "segment_unsup25d",
     "vanishing_points",
@@ -46,7 +47,7 @@ TASKS_ALL = [
 DEVICE_TASKS = {
     "rgb", "normal", "depth_zbuffer", "depth_euclidean", "mask_valid",
     "reshading", "principal_curvature", "edge_texture", "edge_occlusion",
-    "keypoints2d", "semantic",
+    "keypoints2d", "semantic", "fragments",
 }
 
 
@@ -179,11 +180,18 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
                     modalities=mods,
                 )
                 for t in mods:
-                    path = file_name_for(
-                        os.path.join(model_path, t), view["point_uuid"],
-                        view["view_id"], t, settings.PREFERRED_IMG_EXT,
-                    )
-                    save_png(path, np.asarray(out[t]))
+                    if t == "fragments":
+                        path = file_name_for(
+                            os.path.join(model_path, t), view["point_uuid"],
+                            view["view_id"], t, "npy",
+                        )
+                        np.save(path, np.asarray(out[t]))
+                    else:
+                        path = file_name_for(
+                            os.path.join(model_path, t), view["point_uuid"],
+                            view["view_id"], t, settings.PREFERRED_IMG_EXT,
+                        )
+                        save_png(path, np.asarray(out[t]))
                 i += 1
                 pflr.step(f"finished img {i}/{n_imgs}")
 

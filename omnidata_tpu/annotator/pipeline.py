@@ -74,6 +74,7 @@ DEVICE_MODALITIES = (
     "edge_texture",
     "keypoints2d",
     "semantic",
+    "fragments",
 )
 
 
@@ -198,6 +199,11 @@ def annotate_view(
             out["principal_curvature"] = img_as_uint8(
                 vertex_colors(frag, curvature_mesh)
             )
+
+    if "fragments" in modalities:
+        # face-id image (reference 'fragments' domain: RGB-packed face ids,
+        # dataloader/transforms.py transform_fragment) — we emit int32 directly
+        out["fragments"] = frag.face.astype(jnp.int32)
 
     if "semantic" in modalities and mesh.face_labels is not None:
         out["semantic"] = face_labels(frag, mesh, background=0).astype(jnp.uint8)

@@ -1,0 +1,22 @@
+"""Driver-contract tests for __graft_entry__ (the harness compile-checks
+entry() single-chip and runs dryrun_multichip on N virtual devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    y = jax.jit(fn)(*args)
+    assert y.shape == (1, 384, 384, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) >= 8
+    g.dryrun_multichip(8)  # raises on sharding/compile failure
