@@ -205,12 +205,7 @@ def run_pano(model_path: str, settings) -> None:
     import jax.numpy as jnp
 
     from ..core.rotations import euler_xyz_to_matrix
-    from ..cues.encode import (
-        encode_depth_16bit,
-        encode_normals_color,
-        img_as_uint8,
-        save_png,
-    )
+    from ..cues.encode import encode_depth_16bit, img_as_uint8, save_png
     from ..mesh.pano import render_pano
     from ..mesh.shade import face_labels as face_labels_fn
     from ..mesh.shade import smooth_normals_world

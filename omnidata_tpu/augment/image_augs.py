@@ -7,7 +7,6 @@ shape-bucketed XLA version (output size is static per call).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

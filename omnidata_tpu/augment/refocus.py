@@ -19,7 +19,6 @@ degenerates to identity like the torch `r < 0.1` branch.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

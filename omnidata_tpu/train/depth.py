@@ -8,8 +8,6 @@ max-pool dilated (make_valid_mask, train_depth.py:215-242).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
