@@ -6,6 +6,7 @@ from .scene_metadata import (
     BuildingMetadata,
     BuildingMultiviewMetadata,
     CenterVisibleMultiviewSampler,
+    OverlapMultiviewSampler,
 )
 from .splits import get_splits, subset_ladder, flat_split_to_spaces, SUBSETS
 from .segment_instance import (

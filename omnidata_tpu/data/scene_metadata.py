@@ -126,6 +126,43 @@ class BuildingMultiviewMetadata:
 BACKOFF_ORDER = ("SAME", "FIXATED", "DIFFERENT")
 
 
+class OverlapMultiviewSampler:
+    """Positives ranked by pairwise pixel overlap (the reference's
+    OverlapMultiviewSampler, dataloader/omnidata_dataset.py:746-833, which
+    reads precomputed overlap CSVs from mesh-fragment renders).
+
+    Overlap here comes straight from fragment face-id images (the renderer's
+    Fragments.face): overlap(a, b) = |faces(a) ∩ faces(b)| / |faces(a)|."""
+
+    def __init__(self, frag_faces: dict, min_overlap_prop: float = 0.1,
+                 max_views: int = 32):
+        self.keys = sorted(frag_faces)
+        sets = {k: set(np.unique(v[v >= 0]).tolist()) for k, v in frag_faces.items()}
+        self.overlap = {}
+        for a in self.keys:
+            rows = []
+            fa = sets[a]
+            if not fa:
+                continue
+            for b in self.keys:
+                if b == a:
+                    continue
+                prop = len(fa & sets[b]) / len(fa)
+                if prop >= min_overlap_prop:
+                    rows.append((prop, b))
+            rows.sort(reverse=True)
+            self.overlap[a] = [b for _, b in rows[:max_views]]
+
+    def positives(self, point, view, n: int,
+                  rng: np.random.RandomState | None = None) -> list:
+        anchor = (str(point), int(view))
+        cands = list(self.overlap.get(anchor, []))
+        out = cands[:n]
+        while len(out) < n:  # SAME backoff
+            out.append(anchor)
+        return out[:n]
+
+
 class CenterVisibleMultiviewSampler:
     """Positives for an anchor (point, view): other views that see the
     anchor's point (1 hop), or points visible from those views (more hops);

@@ -1,2 +1,2 @@
-from .profiler import Profiler
+from .profiler import Profiler, DeviceTrace
 from .video import make_video

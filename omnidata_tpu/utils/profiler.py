@@ -33,3 +33,24 @@ class Profiler:
     def __exit__(self, *exc):
         self._log(f"{self.name}: total {time.time() - self.start:.3f} seconds")
         return False
+
+
+class DeviceTrace:
+    """jax.profiler trace context (the reference has no device profiler; the
+    TPU-native aux equivalent per SURVEY.md §5). View with TensorBoard or
+    xprof on the written directory."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

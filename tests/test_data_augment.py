@@ -372,3 +372,17 @@ def test_component_registry(fake_dataset_root):
     # world->cam normal rotation roundtrips with identity
     n = np.random.RandomState(0).rand(3, 4, 4).astype(np.float32)
     np.testing.assert_allclose(normal_world_to_cam(n, np.eye(3)), n, atol=1e-6)
+
+
+def test_overlap_multiview_sampler():
+    from omnidata_tpu.data import OverlapMultiviewSampler
+
+    f1 = np.arange(16).reshape(4, 4)            # faces 0..15
+    f2 = np.arange(8, 24).reshape(4, 4)         # overlap 8..15 (50%)
+    f3 = np.full((4, 4), 100)                   # no overlap
+    frag = {("0", 0): f1, ("0", 1): f2, ("1", 0): f3}
+    s = OverlapMultiviewSampler(frag, min_overlap_prop=0.25, max_views=4)
+    pos = s.positives("0", 0, 2)
+    assert pos[0] == ("0", 1)      # the overlapping view ranks first
+    assert pos[1] == ("0", 0)      # backoff fills with SAME
+    assert s.positives("1", 0, 1) == [("1", 0)]  # isolated view backs off
