@@ -9,12 +9,17 @@ Layout: <root>/<building>/<task>/point_{p}_view_{v}_domain_{task}.png
 Key behaviors kept from the reference:
 - index = (building, point, view) tuples kept only when ALL requested tasks
   exist (omnidata_dataset.py:270-342), with a pickle cache (:136-207)
-- per-task resize (bilinear rgb / nearest else) + center crop; optional
-  joint horizontal flip that also flips the normal X channel
+- per-task resize (bilinear rgb / nearest else) + square crop with JOINT
+  offsets across the sample's tasks: random for random_crop components
+  (hypersim/BlendedMVS), center otherwise (data/omnidata_dataset.py:394-408)
+- optional joint horizontal flip that also flips the normal X channel
   (res[0] = 1 - res[0], :411-414)
+- split filtering: when split_csv is set, buildings are restricted to the
+  requested split's spaces (starter_dataset splits.py CSVs)
 - multiview: FILENAME sampler — positives are other views of the same
   (building, point) (dataloader/omnidata_dataset.py:698-743)
-- point_info JSONs load with camera pose fields for pose-aware training
+- point_info JSONs load with camera pose fields; R/T/K(+inv) tensors in
+  PyTorch3D convention are attached per view (dataloader/omnidata_dataset.py:565-594)
 """
 from __future__ import annotations
 
@@ -25,9 +30,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .pose import cam_to_world_R_T_K
 from .transforms import default_loader, get_transform
 
 _FN = re.compile(r"point_(\w+)_view_(\w+)_domain_(\w+)\.(\w+)$")
+
+_POSE_KEYS = ("cam_to_world_R", "cam_to_world_T", "proj_K", "proj_K_inv")
 
 
 @dataclass
@@ -36,6 +44,7 @@ class Options:
     tasks: tuple = ("rgb", "normal")
     image_size: int | None = None
     split: str = "train"
+    split_csv: str | None = None  # train_val_test_*.csv restricting buildings
     num_positive: int = 1  # views per sample (multiview if > 1)
     random_flip: bool = True
     random_crop: bool = False
@@ -50,6 +59,10 @@ class OmnidataDataset:
             t: get_transform(t, options.image_size) for t in options.tasks
         }
         self.index = self._build_index()
+        # O(1) multiview lookup: (building, point) -> index positions
+        self._bp_map: dict = {}
+        for i, (b, p, _, _) in enumerate(self.index):
+            self._bp_map.setdefault((b, p), []).append(i)
         self.rng = np.random.RandomState(options.seed)
 
     # ---- index ------------------------------------------------------------
@@ -61,13 +74,21 @@ class OmnidataDataset:
         ]
         if any(t in subs for t in self.o.tasks):
             return [("", root)]  # single-building layout
-        return [(d, os.path.join(root, d)) for d in subs]
+        out = [(d, os.path.join(root, d)) for d in subs]
+        if self.o.split_csv:
+            from .splits import get_splits
+
+            allowed = get_splits(self.o.split_csv).get(self.o.split, set())
+            out = [(d, p) for d, p in out if d in allowed]
+        return out
 
     def _build_index(self):
         cache = None
         if self.o.cache_dir:
             os.makedirs(self.o.cache_dir, exist_ok=True)
-            key = f"{abs(hash((self.o.data_path, self.o.tasks, self.o.split)))}.pkl"
+            key = "{}.pkl".format(abs(hash((
+                self.o.data_path, self.o.tasks, self.o.split, self.o.split_csv
+            ))))
             cache = os.path.join(self.o.cache_dir, key)
             if os.path.exists(cache):
                 with open(cache, "rb") as fh:
@@ -102,24 +123,42 @@ class OmnidataDataset:
         return len(self.index)
 
     def _views_of_point(self, building: str, point: str):
-        return [
-            i for i, (b, p, _, _) in enumerate(self.index)
-            if b == building and p == point
-        ]
+        return self._bp_map.get((building, point), [])
+
+    @staticmethod
+    def _crop(arr: np.ndarray, top: int, left: int, size: int) -> np.ndarray:
+        if arr.ndim == 3:  # CHW
+            return arr[:, top : top + size, left : left + size]
+        return arr[top : top + size, left : left + size]  # HW labels
 
     def _load_one(self, entry):
         building, point, view, paths = entry
         out = {"building": building, "point": point, "view": view}
         flip = self.o.random_flip and self.rng.rand() < 0.5
+        size = self.o.image_size
+        top = left = None  # joint crop offsets, sampled from the first task
         for task in self.o.tasks:
             data = default_loader(paths[task])
             tr = self.transforms[task]
             arr = tr(data) if tr is not None else data
+            if isinstance(arr, np.ndarray) and size and arr.ndim in (2, 3):
+                h, w = arr.shape[-2], arr.shape[-1]
+                if h != size or w != size:  # non-square source: crop square
+                    if top is None:
+                        if self.o.random_crop:
+                            top = int(self.rng.randint(0, h - size + 1))
+                            left = int(self.rng.randint(0, w - size + 1))
+                        else:  # torchvision CenterCrop offsets
+                            top = int(round((h - size) / 2.0))
+                            left = int(round((w - size) / 2.0))
+                    arr = self._crop(arr, top, left, size)
             if isinstance(arr, np.ndarray) and flip and arr.ndim == 3:
                 arr = arr[..., ::-1].copy()
                 if task == "normal":
                     arr[0] = 1.0 - arr[0]  # X flips under mirror
             out[task] = arr
+            if task == "point_info" and isinstance(arr, dict):
+                out.update(cam_to_world_R_T_K(arr))
         return out
 
     def __getitem__(self, i: int):
@@ -137,12 +176,38 @@ class OmnidataDataset:
             picks.append(picks[-1])
         samples = [self._load_one(self.index[j]) for j in picks]
         out = {"building": building, "point": point}
-        for task in self.o.tasks:
+        keys = list(self.o.tasks) + [k for k in _POSE_KEYS if k in samples[0]]
+        for task in keys:
             vals = [s[task] for s in samples]
             out[task] = (
                 np.stack(vals) if isinstance(vals[0], np.ndarray) else vals
             )
         return out
+
+    def subset(self, keep) -> "OmnidataDataset":
+        """Shallow copy restricted to the given index positions."""
+        import copy
+
+        ds = copy.copy(self)
+        ds.index = [self.index[i] for i in keep]
+        ds._bp_map = {}
+        for i, (b, p, _, _) in enumerate(ds.index):
+            ds._bp_map.setdefault((b, p), []).append(i)
+        ds.rng = np.random.RandomState(self.o.seed)
+        return ds
+
+    def holdout(self, fraction: float = 0.05):
+        """(train, val) split by whole (building, point) groups — views of a
+        point never straddle the split (the reference separates val by
+        building CSVs; this is the CSV-less equivalent for self-annotated
+        data). Deterministic in the group order."""
+        groups = sorted(self._bp_map)
+        stride = max(2, int(round(1.0 / max(fraction, 1e-6))))
+        val_groups = set(groups[::stride][: max(1, int(len(groups) * fraction) or 1)])
+        tr, va = [], []
+        for i, (b, p, _, _) in enumerate(self.index):
+            (va if (b, p) in val_groups else tr).append(i)
+        return self.subset(tr), self.subset(va)
 
     def batches(self, batch_size: int, shuffle: bool = True):
         """Yield stacked numpy batches (the host loader feeding device_put)."""

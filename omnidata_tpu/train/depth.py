@@ -42,11 +42,25 @@ def depth_loss_fn(
     return loss, {"loss": loss, "ssi": ssi, "reg": reg, "vnl": vnl}
 
 
-def make_depth_train_step(apply_fn, vnl_params: VNLParams):
+def make_depth_train_step(apply_fn, vnl_params: VNLParams,
+                          augment: bool = False, image_size: int = 384):
     """Returns train_step(state, batch, key) -> (state, metrics). jit with
-    shardings applied by the caller (see train.parallel)."""
+    shardings applied by the caller (see train.parallel).
+
+    augment=True applies the reference's in-step train augmentation
+    (train_depth.py:245-253): resize/crop to image_size then the rgb cascade.
+    With augment, batch['rgb'] must be in [0,1] (normalized to [-1,1] after
+    augmenting, matching the transform+aug order of the reference)."""
 
     def train_step(state: TrainState, batch: dict, key: jax.Array):
+        if augment:
+            from ..augment import augment_rgb, resize_crop
+
+            key, k1, k2 = jax.random.split(key, 3)
+            batch = dict(batch)
+            batch = resize_crop(batch, k1, image_size)
+            batch["mask_valid"] = batch["mask_valid"] > 0.5
+            batch["rgb"] = augment_rgb(batch["rgb"], k2) * 2.0 - 1.0
         grad_fn = jax.value_and_grad(depth_loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(
             state.params, apply_fn, batch, state.step, key, vnl_params
@@ -54,3 +68,19 @@ def make_depth_train_step(apply_fn, vnl_params: VNLParams):
         return state.apply_gradients(grads), metrics
 
     return train_step
+
+
+def make_depth_eval_step(apply_fn, vnl_params: VNLParams):
+    """eval_step(params, batch, key) -> (metrics, pred) — validation loss in
+    the reference's post-schedule form (ssi + 0.1 reg + 10 vnl; no aug,
+    train_depth.py:252-253, validation_epoch_end)."""
+
+    def eval_step(params, batch: dict, key: jax.Array):
+        pred = jnp.clip(apply_fn(params, batch["rgb"]), 0.0, 1.0)[:, None]
+        mask = dilate_invalid(batch["mask_valid"], 8)
+        total, ssi, reg = midas_loss(pred, batch["depth"], mask, alpha=REG_WEIGHT)
+        vnl = virtual_normal_loss(batch["depth"], pred, key, vnl_params)
+        loss = ssi + REG_WEIGHT * reg + VNL_WEIGHT * vnl
+        return {"val_depth_loss": loss, "ssi": ssi, "reg": reg, "vnl": vnl}, pred
+
+    return eval_step

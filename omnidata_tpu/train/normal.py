@@ -27,10 +27,34 @@ def normal_loss_fn(params, apply_fn, batch: dict):
     return loss, {"loss": loss, "cos": cos, "l1": l1}
 
 
-def make_normal_train_step(apply_fn):
-    def train_step(state: TrainState, batch: dict):
+def make_normal_train_step(apply_fn, augment: bool = False):
+    """augment=True applies the reference's train-time rgb cascade
+    (train_normal.py:236-241: augment_rgb only; no resize aug for normals).
+    Signature stays (state, batch) when augment=False for compatibility."""
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array = None):
+        if augment:
+            from ..augment import augment_rgb
+
+            batch = dict(batch)
+            batch["rgb"] = augment_rgb(batch["rgb"], key)
         grad_fn = jax.value_and_grad(normal_loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, apply_fn, batch)
         return state.apply_gradients(grads), metrics
 
     return train_step
+
+
+def make_normal_eval_step(apply_fn):
+    """eval_step(params, batch) -> (metrics, pred); no augmentation
+    (train_normal.py validation path)."""
+
+    def eval_step(params, batch: dict):
+        pred = jnp.clip(apply_fn(params, batch["rgb"]), 0.0, 1.0)
+        mask3 = jnp.repeat(dilate_invalid(batch["mask_valid"], 8), 3, axis=1)
+        cos = masked_cosine_angular_loss(pred, batch["normal"], mask3)
+        l1 = masked_l1_loss(pred, batch["normal"], mask3)
+        loss = cos + L1_WEIGHT * l1
+        return {"val_normal_loss": loss, "cos": cos, "l1": l1}, pred
+
+    return eval_step

@@ -386,3 +386,135 @@ def test_overlap_multiview_sampler():
     assert pos[0] == ("0", 1)      # the overlapping view ranks first
     assert pos[1] == ("0", 0)      # backoff fills with SAME
     assert s.positives("1", 0, 1) == [("1", 0)]  # isolated view backs off
+
+
+# ---------------- square crop / split / pose (round 2) ----------------
+
+@pytest.fixture()
+def nonsquare_root(tmp_path):
+    """Two buildings with non-square (24x16 portrait) sources + point_info."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    for b in ("alpha", "beta"):
+        root = tmp_path / b
+        for task in ("rgb", "normal"):
+            d = root / task
+            d.mkdir(parents=True)
+            for p in range(2):
+                for v in range(2):
+                    img = Image.fromarray(rng.randint(0, 255, (24, 16, 3), np.uint8))
+                    img.save(d / f"point_{p}_view_{v}_domain_{task}.png")
+        d = root / "point_info"
+        d.mkdir(parents=True)
+        for p in range(2):
+            for v in range(2):
+                info = {
+                    "camera_location": [1.0, 2.0, 3.0],
+                    "camera_rotation_final": [1.2, -0.3, 0.8],
+                    "field_of_view_rads": 1.0,
+                }
+                (d / f"point_{p}_view_{v}_domain_fixatedpose.json").write_text(
+                    json.dumps(info)
+                )
+    return tmp_path
+
+
+def test_dataset_nonsquare_center_crop_stacks(nonsquare_root):
+    ds = OmnidataDataset(
+        Options(
+            data_path=str(nonsquare_root), tasks=("rgb", "normal"),
+            image_size=8, random_flip=False,
+        )
+    )
+    item = ds[0]
+    assert item["rgb"].shape == (3, 8, 8)
+    # center crop is deterministic: two loads agree
+    np.testing.assert_array_equal(ds[0]["rgb"], item["rgb"])
+    batch = next(ds.batches(4, shuffle=False))
+    assert batch["rgb"].shape == (4, 3, 8, 8)  # non-square sources stack
+
+
+def test_dataset_nonsquare_random_crop_joint(nonsquare_root):
+    ds = OmnidataDataset(
+        Options(
+            data_path=str(nonsquare_root), tasks=("rgb", "normal"),
+            image_size=8, random_flip=False, random_crop=True, seed=1,
+        )
+    )
+    # offsets vary across draws...
+    draws = [ds[0]["rgb"] for _ in range(8)]
+    assert any(not np.array_equal(draws[0], d) for d in draws[1:])
+    # ...but rgb and normal of ONE sample share the same crop window: the
+    # sources are identical random images per (task), so cross-check shapes
+    item = ds[1]
+    assert item["rgb"].shape == item["normal"].shape == (3, 8, 8)
+
+
+def test_dataset_split_csv_filters_buildings(nonsquare_root, tmp_path):
+    csv_path = tmp_path / "split.csv"
+    csv_path.write_text("id,train,val,test\nalpha,1,0,0\nbeta,0,1,0\n")
+    tr = OmnidataDataset(
+        Options(data_path=str(nonsquare_root), tasks=("rgb", "normal"),
+                split="train", split_csv=str(csv_path), random_flip=False)
+    )
+    va = OmnidataDataset(
+        Options(data_path=str(nonsquare_root), tasks=("rgb", "normal"),
+                split="val", split_csv=str(csv_path), random_flip=False)
+    )
+    assert {e[0] for e in tr.index} == {"alpha"}
+    assert {e[0] for e in va.index} == {"beta"}
+    assert len(tr) == len(va) == 4
+
+
+def test_pose_rtk_matches_reference_convention(nonsquare_root):
+    """R from scipy intrinsic XZY euler; T/K from the P3D formulas
+    (dataloader/omnidata_dataset.py:565-594)."""
+    from scipy.spatial.transform import Rotation
+
+    from omnidata_tpu.data.pose import cam_to_world_R_T_K
+
+    info = {
+        "camera_location": [1.0, 2.0, 3.0],
+        "camera_rotation_final": [1.2, -0.3, 0.8],
+        "field_of_view_rads": 1.0,
+    }
+    out = cam_to_world_R_T_K(info)
+    ex, ey, ez = info["camera_rotation_final"]
+    R = Rotation.from_euler(
+        "XZY", [ex - np.pi / 2, -ey, -ez]
+    ).as_matrix()
+    np.testing.assert_allclose(out["cam_to_world_R"], R.T, atol=1e-6)
+    T = np.array([-1.0, 3.0, 2.0])
+    np.testing.assert_allclose(out["cam_to_world_T"], -(R @ T), atol=1e-6)
+    K = out["proj_K"]
+    t = np.tan(0.5)
+    np.testing.assert_allclose(K[0, 0], 1 / t, rtol=1e-6)
+    np.testing.assert_allclose(K[1, 1], 1 / t, rtol=1e-6)
+    np.testing.assert_allclose(K[3, 2], 1.0)
+    np.testing.assert_allclose(K @ np.array([0, 0, 512.0, 1.0]),
+                               [0, 0, 512.0, 512.0], rtol=1e-4)
+    np.testing.assert_allclose(
+        out["proj_K_inv"] @ K[:3, :3], np.eye(3), atol=1e-5
+    )
+
+
+def test_dataset_attaches_pose_and_multiview_stacks(nonsquare_root):
+    ds = OmnidataDataset(
+        Options(
+            data_path=str(nonsquare_root),
+            tasks=("rgb", "point_info"),
+            num_positive=2, random_flip=False,
+        )
+    )
+    item = ds[0]
+    assert item["cam_to_world_R"].shape == (2, 3, 3)
+    assert item["proj_K"].shape == (2, 4, 4)
+    assert item["proj_K_inv"].shape == (2, 3, 3)
+    single = OmnidataDataset(
+        Options(data_path=str(nonsquare_root), tasks=("rgb", "point_info"),
+                random_flip=False)
+    )[0]
+    assert single["cam_to_world_T"].shape == (3,)

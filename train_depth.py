@@ -29,7 +29,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from omnidata_tpu.augment import augment_rgb, resize_crop
     from omnidata_tpu.data.dataset import OmnidataDataset, Options
     from omnidata_tpu.losses import VNLParams
     from omnidata_tpu.models import DPTHybrid
@@ -37,12 +36,14 @@ def main(argv=None):
         batch_sharding,
         create_train_state,
         depth_optimizer,
+        make_depth_eval_step,
         make_depth_train_step,
         make_mesh,
         param_sharding,
         replicated,
     )
     from omnidata_tpu.train.checkpoints import CheckpointManager
+    from omnidata_tpu.train.loop import dump_val_images, run_validation, split_train_val
 
     image_size = int(cfg.get("image_size", 384))
     batch_size = int(cfg.get("batch_size", 8))
@@ -68,7 +69,26 @@ def main(argv=None):
     if not datasets:
         raise SystemExit("no data_paths configured / found in config")
 
-    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1)))
+    # validation: explicit val_data_paths, else holdout split per component
+    # (reference monitors val_depth_loss, train_depth.py ModelCheckpoint)
+    val_datasets = []
+    for comp, path in (cfg.get("val_data_paths") or {}).items():
+        if path and os.path.isdir(path):
+            val_datasets.append(
+                OmnidataDataset(
+                    Options(data_path=path,
+                            tasks=("rgb", "depth_zbuffer", "mask_valid"),
+                            image_size=image_size, random_flip=False)
+                )
+            )
+    if not val_datasets:
+        datasets, val_datasets = split_train_val(
+            datasets, float(cfg.get("val_fraction", 0.05))
+        )
+
+    n_model = int(cfg.get("model_parallel", 1))
+    n_data = cfg.get("data_parallel")  # None = all remaining devices
+    mesh = make_mesh(n_data=int(n_data) if n_data else None, n_model=n_model)
     model = DPTHybrid(num_channels=1)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
@@ -80,12 +100,43 @@ def main(argv=None):
         return model.apply(v, jnp.transpose(rgb_nchw, (0, 2, 3, 1)))[..., 0]
 
     vnl_params = VNLParams(1.0, 1.0, (image_size, image_size))
-    step_fn = jax.jit(make_depth_train_step(apply_fn, vnl_params), donate_argnums=0)
+    augment = bool(cfg.get("augment", True))  # reference always augments train
+    step_fn = jax.jit(
+        make_depth_train_step(apply_fn, vnl_params, augment=augment,
+                              image_size=image_size),
+        donate_argnums=0,
+    )
+    eval_fn = jax.jit(make_depth_eval_step(apply_fn, vnl_params))
 
     ckpt = CheckpointManager(ckpt_dir, save_top_k=int(cfg.get("save_top_k", 3)))
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     b_shard = batch_sharding(mesh)
+
+    def prepare(batch, train: bool):
+        rgb = batch["rgb"].astype(np.float32)
+        if not (train and augment):
+            rgb = rgb * 2.0 - 1.0  # [-1,1]; aug path normalizes in-step
+        b = {
+            "rgb": rgb,
+            "depth": batch["depth_zbuffer"].astype(np.float32),
+            "mask_valid": batch["mask_valid"] > 0.5,
+        }
+        return jax.device_put(b, {k: b_shard for k in b})
+
+    def validate(step):
+        nonlocal key
+        key, k = jax.random.split(key)
+        val_loss, sample = run_validation(
+            val_datasets, batch_size, lambda nb: prepare(nb, train=False),
+            lambda b: eval_fn(state.params, b, k), "val_depth_loss",
+        )
+        if val_loss is None:
+            return None
+        print(f"step {step}: val_depth_loss {val_loss:.4f}")
+        dump_val_images(ckpt_dir, step, sample)
+        ckpt.save(jax.device_get(state.params), step, metric=val_loss)
+        return val_loss
 
     step = 0
     t0 = time.time()
@@ -93,13 +144,7 @@ def main(argv=None):
         while step < max_steps:
             ds = datasets[rng.randint(len(datasets))]
             for batch in ds.batches(batch_size):
-                rgb = batch["rgb"].astype(np.float32) * 2.0 - 1.0  # [-1,1]
-                b = {
-                    "rgb": rgb,
-                    "depth": batch["depth_zbuffer"].astype(np.float32),
-                    "mask_valid": batch["mask_valid"] > 0.5,
-                }
-                b = jax.device_put(b, {k: b_shard for k in b})
+                b = prepare(batch, train=True)
                 key, k = jax.random.split(key)
                 try:
                     state, metrics = step_fn(state, b, k)
@@ -113,9 +158,9 @@ def main(argv=None):
                 if step % int(cfg.get("log_step", 100)) == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"step {step}: {m} ({(time.time()-t0)/step:.2f}s/step)")
+                    validate(step)
                 if step % int(cfg.get("ckpt_step", 1000)) == 0:
-                    ckpt.save(jax.device_get(state.params), step,
-                              metric=float(metrics["loss"]))
+                    ckpt.save(jax.device_get(state.params), step, metric=None)
                 if step >= max_steps:
                     break
     ckpt.save(jax.device_get(state.params), step, metric=None)

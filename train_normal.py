@@ -33,11 +33,13 @@ def main(argv=None):
         batch_sharding,
         create_train_state,
         make_mesh,
+        make_normal_eval_step,
         make_normal_train_step,
         normal_optimizer,
         param_sharding,
     )
     from omnidata_tpu.train.checkpoints import CheckpointManager
+    from omnidata_tpu.train.loop import dump_val_images, run_validation, split_train_val
 
     image_size = int(cfg.get("image_size", 512))
     batch_size = int(cfg.get("batch_size", 16))
@@ -63,11 +65,29 @@ def main(argv=None):
     if not datasets:
         raise SystemExit("no data_paths configured / found in config")
 
-    mesh = make_mesh(n_model=int(cfg.get("model_parallel", 1)))
+    # validation split (reference monitors val_normal_loss)
+    val_datasets = []
+    for comp, path in (cfg.get("val_data_paths") or {}).items():
+        if path and os.path.isdir(path):
+            val_datasets.append(
+                OmnidataDataset(
+                    Options(data_path=path, tasks=("rgb", "normal", "mask_valid"),
+                            image_size=image_size, random_flip=False)
+                )
+            )
+    if not val_datasets:
+        datasets, val_datasets = split_train_val(
+            datasets, float(cfg.get("val_fraction", 0.05))
+        )
+
+    n_model = int(cfg.get("model_parallel", 1))
+    n_data = cfg.get("data_parallel")  # None = all remaining devices
+    mesh = make_mesh(n_data=int(n_data) if n_data else None, n_model=n_model)
     if cfg.get("model", "unet") == "dpt":
         model = DPTHybrid(num_channels=3)
     else:
-        model = UNet(out_channels=3)
+        model = UNet(out_channels=3,
+                     downsample=int(cfg.get("unet_downsample", 6)))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
     )
@@ -78,10 +98,34 @@ def main(argv=None):
         y = model.apply(v, jnp.transpose(rgb_nchw, (0, 2, 3, 1)))
         return jnp.transpose(y, (0, 3, 1, 2))
 
-    step_fn = jax.jit(make_normal_train_step(apply_fn), donate_argnums=0)
+    augment = bool(cfg.get("augment", True))  # reference augments train rgb
+    step_fn = jax.jit(make_normal_train_step(apply_fn, augment=augment),
+                      donate_argnums=0)
+    eval_fn = jax.jit(make_normal_eval_step(apply_fn))
     ckpt = CheckpointManager(ckpt_dir, save_top_k=int(cfg.get("save_top_k", 3)))
     rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
     b_shard = batch_sharding(mesh)
+
+    def prepare(batch):
+        b = {
+            "rgb": batch["rgb"].astype(np.float32),
+            "normal": batch["normal"].astype(np.float32),
+            "mask_valid": batch["mask_valid"] > 0.5,
+        }
+        return jax.device_put(b, {k: b_shard for k in b})
+
+    def validate(step):
+        val_loss, sample = run_validation(
+            val_datasets, batch_size, prepare,
+            lambda b: eval_fn(state.params, b), "val_normal_loss",
+        )
+        if val_loss is None:
+            return None
+        print(f"step {step}: val_normal_loss {val_loss:.4f}")
+        dump_val_images(ckpt_dir, step, sample)
+        ckpt.save(jax.device_get(state.params), step, metric=val_loss)
+        return val_loss
 
     step = 0
     t0 = time.time()
@@ -89,14 +133,10 @@ def main(argv=None):
         while step < max_steps:
             ds = datasets[rng.randint(len(datasets))]
             for batch in ds.batches(batch_size):
-                b = {
-                    "rgb": batch["rgb"].astype(np.float32),
-                    "normal": batch["normal"].astype(np.float32),
-                    "mask_valid": batch["mask_valid"] > 0.5,
-                }
-                b = jax.device_put(b, {k: b_shard for k in b})
+                b = prepare(batch)
+                key, k = jax.random.split(key)
                 try:
-                    state, metrics = step_fn(state, b)
+                    state, metrics = step_fn(state, b, k)
                 except Exception as e:  # crash dump (train_*.py:341-348)
                     from omnidata_tpu.train import save_crash_dump
 
@@ -107,9 +147,9 @@ def main(argv=None):
                 if step % int(cfg.get("log_step", 100)) == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     print(f"step {step}: {m} ({(time.time()-t0)/step:.2f}s/step)")
+                    validate(step)
                 if step % int(cfg.get("ckpt_step", 1000)) == 0:
-                    ckpt.save(jax.device_get(state.params), step,
-                              metric=float(metrics["loss"]))
+                    ckpt.save(jax.device_get(state.params), step, metric=None)
                 if step >= max_steps:
                     break
     ckpt.save(jax.device_get(state.params), step, metric=None)
