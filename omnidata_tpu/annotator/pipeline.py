@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.cameras import Camera, camera_rays
 from ..cues.edges import edge_occlusion, edge_texture
+from ..mesh.raster import render_views_fused
 from ..cues.encode import (
     encode_depth_16bit,
     encode_normals_color,
@@ -210,6 +211,134 @@ def annotate_view(
 
     if "edge_occlusion" in modalities:
         out["edge_occlusion"] = img_as_uint16(edge_occlusion(out["depth_zbuffer"]))
+        if "depth_zbuffer" not in modalities:
+            del out["depth_zbuffer"]
+
+    return out
+
+
+def _gather_attrs(mesh, curvature_mesh, modalities):
+    """Vertex-attribute columns to interpolate in-kernel + their slices."""
+    needs_normals = "normal" in modalities or "reshading" in modalities
+    needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
+    has_colors = mesh.vertex_colors is not None
+    has_texture = mesh.texture is not None and mesh.vertex_uvs is not None
+    cols, attr_slices = [], {}
+
+    def add(name, a):
+        start = sum(c.shape[1] for c in cols)
+        attr_slices[name] = slice(start, start + a.shape[1])
+        cols.append(a)
+
+    if needs_normals:
+        add("normal", mesh.vertex_normals)
+    if needs_rgb and has_texture:
+        add("uv", mesh.vertex_uvs)
+    elif needs_rgb and has_colors:
+        add("rgb", mesh.vertex_colors)
+    if "principal_curvature" in modalities and curvature_mesh is not None:
+        add("curv", curvature_mesh.vertex_colors)
+    vertex_attrs = jnp.concatenate(cols, -1) if cols else None
+    return vertex_attrs, attr_slices
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile", "cap", "chunk", "modalities", "interpret"),
+)
+def annotate_views(
+    cameras: Camera,
+    mesh: TriangleMesh,
+    curvature_mesh: TriangleMesh | None = None,
+    tile: int = 64,
+    cap: int = 1024,
+    chunk: int = 128,
+    modalities: tuple = DEVICE_MODALITIES,
+    interpret: bool = False,
+) -> dict[str, jax.Array]:
+    """Batched annotation: K cameras -> all modalities as (K, H, W, ...)
+    arrays in ONE jitted program.
+
+    This is the throughput path (bench.py): one Pallas dispatch rasterizes
+    all K views (grid K*T tiles) with in-kernel attribute interpolation, and
+    the cue stack runs batched (convolutions and elementwise cues fill the
+    VPU far better at batch K than per-view). cameras carries a leading
+    batch dim on location/R/fov."""
+    needs_normals = "normal" in modalities or "reshading" in modalities
+    needs_rgb = any(m in modalities for m in ("rgb", "edge_texture", "keypoints2d"))
+    has_colors = mesh.vertex_colors is not None
+    has_texture = mesh.texture is not None and mesh.vertex_uvs is not None
+
+    vertex_attrs, attr_slices = _gather_attrs(mesh, curvature_mesh, modalities)
+    if vertex_attrs is not None:
+        frag, attr_img = render_views_fused(
+            cameras, mesh, tile, cap, chunk, interpret, vertex_attrs
+        )
+    else:
+        frag = render_views_fused(cameras, mesh, tile, cap, chunk, interpret)
+        attr_img = None
+
+    out: dict[str, Any] = {}
+    if "depth_zbuffer" in modalities or "edge_occlusion" in modalities:
+        out["depth_zbuffer"] = jax.vmap(encode_depth_16bit)(frag.z, frag.valid)
+    if "depth_euclidean" in modalities:
+        out["depth_euclidean"] = jax.vmap(encode_depth_16bit)(frag.t, frag.valid)
+    if "mask_valid" in modalities:
+        out["mask_valid"] = jax.vmap(mask_valid_image)(frag.valid)
+
+    if needs_normals:
+        n = attr_img[..., attr_slices["normal"]]
+        norm = jnp.sqrt(jnp.sum(n * n, -1, keepdims=True))
+        n_world = n / jnp.maximum(norm, 1e-12)
+    if "normal" in modalities:
+        n_cam = jnp.einsum("kji,khwj->khwi", cameras.R, n_world,
+                           precision="highest")
+        out["normal"] = img_as_uint8(
+            jax.vmap(encode_normals_color)(n_cam, frag.valid))
+    if "reshading" in modalities:
+        def rays_one(loc, R, fov):
+            return camera_rays(Camera(loc, R, fov, cameras.resolution))[1]
+        dirs = jax.vmap(rays_one)(cameras.location, cameras.R, cameras.fov)
+        out["reshading"] = img_as_uint8(
+            jax.vmap(reshade)(frag.t, n_world, dirs, frag.valid))
+
+    if needs_rgb and (has_colors or has_texture):
+        if "uv" in attr_slices:
+            rgb = jax.vmap(lambda uv, valid: _sample_texture(uv, mesh.texture, valid))(
+                attr_img[..., attr_slices["uv"]], frag.valid
+            )
+        else:
+            rgb = jnp.where(
+                frag.valid[..., None],
+                jnp.clip(attr_img[..., attr_slices["rgb"]], 0.0, 1.0), 0.0,
+            )
+        if "rgb" in modalities:
+            out["rgb"] = img_as_uint8(rgb)
+        gray = jnp.mean(rgb, -1)
+        if "edge_texture" in modalities:
+            out["edge_texture"] = img_as_uint16(
+                jax.vmap(lambda g: edge_texture(g, sigma=3.0))(gray))
+        if "keypoints2d" in modalities:
+            out["keypoints2d"] = img_as_uint16(
+                jnp.clip(jax.vmap(keypoints2d)(gray), 0.0, 1.0))
+
+    if "principal_curvature" in modalities and curvature_mesh is not None:
+        cc = jnp.where(
+            frag.valid[..., None],
+            jnp.clip(attr_img[..., attr_slices["curv"]], 0.0, 1.0), 0.0,
+        )
+        out["principal_curvature"] = img_as_uint8(cc)
+
+    if "fragments" in modalities:
+        out["fragments"] = frag.face.astype(jnp.int32)
+
+    if "semantic" in modalities and mesh.face_labels is not None:
+        lab = mesh.face_labels[jnp.maximum(frag.face, 0)]
+        out["semantic"] = jnp.where(frag.valid, lab, 0).astype(jnp.uint8)
+
+    if "edge_occlusion" in modalities:
+        out["edge_occlusion"] = img_as_uint16(
+            jax.vmap(edge_occlusion)(out["depth_zbuffer"]))
         if "depth_zbuffer" not in modalities:
             del out["depth_zbuffer"]
 

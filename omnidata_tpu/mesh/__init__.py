@@ -11,7 +11,7 @@ from .mesh import (
     load_ply,
 )
 from .raycast import RayHits, raycast, any_hit_within, count_crossings
-from .raster import Fragments, render_view, render_views, render_view_pallas, bin_triangles
+from .raster import Fragments, render_view, render_views, render_view_pallas, render_views_fused, scene_pack, bin_triangles
 from .shade import (
     interpolate_vertex_attribute,
     smooth_normals_world,

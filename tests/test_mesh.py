@@ -287,3 +287,49 @@ def test_pallas_attr_interpolation_matches_shade(tmp_path):
     # invalid pixels carry zeros from the kernel
     if (~m).any():
         assert np.abs(np.asarray(a_img)[~m]).max() < 1e-6
+
+
+def test_annotate_views_batched_matches_single():
+    """The throughput path (annotate_views: one fused Pallas dispatch over K
+    views, in-kernel attribute interpolation) must agree with the per-view
+    XLA path (annotate_view use_pallas=False) on every modality."""
+    from omnidata_tpu.annotator import annotate_view, annotate_views
+    from omnidata_tpu.cues.curvature import bake_curvature_colors
+
+    base = room(size=4.0, height=2.5)
+    rng = np.random.RandomState(0)
+    colors = rng.rand(base.vertices.shape[0], 3).astype(np.float32) * 0.6 + 0.2
+    mesh = from_arrays(
+        np.asarray(base.vertices),
+        np.asarray(base.faces[: base.num_faces]),
+        vertex_colors=colors,
+    )
+    curv = bake_curvature_colors(mesh, rings=1)
+
+    cams = [
+        _camera([1.0, 0.5, 1.2], [0, 0, 0.5], fov=1.0),
+        _camera([-0.8, 1.1, 1.6], [0.5, -0.5, 0.8], fov=1.2),
+    ]
+    batched = Camera(
+        jnp.stack([c.location for c in cams]),
+        jnp.stack([c.R for c in cams]),
+        jnp.stack([c.fov for c in cams]),
+        RES,
+    )
+    kw = dict(tile=32, cap=512, chunk=64)
+    got = annotate_views(batched, mesh, curv, interpret=True, **kw)
+    for i, cam in enumerate(cams):
+        want = annotate_view(cam, mesh, curv, use_pallas=False, **kw)
+        for k in want:
+            g = np.asarray(got[k][i])
+            w = np.asarray(want[k])
+            assert g.shape == w.shape, (k, g.shape, w.shape)
+            # integer-encoded images: tolerate conv-order rounding (1 lsb on
+            # ~1% of pixels for edge cues; a few larger flips where the 16-bit
+            # quantize lands on a boundary)
+            diff = np.abs(g.astype(np.int64) - w.astype(np.int64))
+            frac = float((diff > 0).mean())
+            ok = (diff.max() <= 1 and frac < 0.02) or (
+                diff.max() <= 32 and frac < 1e-3
+            )
+            assert ok, (k, diff.max(), frac)
