@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -150,7 +151,39 @@ def main():
         "unit": "viewpoints/s",
         "vs_baseline": round(vps / BASELINE_VIEWPOINTS_PER_SEC, 1),
     }
+
+    if on_tpu and not os.environ.get("BENCH_FAST"):
+        try:
+            result["extra"] = bench_dpt_inference()
+        except Exception as e:  # model bench must never cost the main metric
+            result["extra"] = {"dpt_error": repr(e)[:200]}
     print(json.dumps(result))
+
+
+def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
+    """DPT-hybrid-384 inference img/s/chip, f32 and bf16 (BASELINE.md target:
+    >=3x A100 img/s/chip at matched accuracy; bf16 accuracy pinned by
+    tests/test_models.py bf16 delta test). Chain-timed with a final scalar
+    fetch (same forced-completion accounting as the annotator metric)."""
+    import jax.numpy as jnp
+
+    from omnidata_tpu.models.registry import dpt_hybrid_384
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(batch, 3, 384, 384), jnp.float32
+    )
+    out = {}
+    for dt in ("float32", "bfloat16"):
+        mb = dpt_hybrid_384(num_channels=1, dtype=dt)
+        float(jnp.sum(mb.apply(mb.variables, x)))  # compile + warm
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(n_iters):
+            acc = acc + jnp.sum(mb.apply(mb.variables, x))
+        _ = float(acc)
+        sec = time.perf_counter() - t0
+        out[f"dpt384_{dt}_img_per_s"] = round(batch * n_iters / sec, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -77,6 +77,9 @@ class StdConv(nn.Module):
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
         w = (w - mean) / jnp.sqrt(var + 1e-6)
+        # mixed-precision inference stores kernels in bf16 while norm layers
+        # re-promote activations to f32; lax.conv needs matching dtypes
+        x, w = nn.dtypes.promote_dtype(x, w)
         y = jax.lax.conv_general_dilated(
             x,
             w,

@@ -36,6 +36,25 @@ def _nchw_to_nhwc(x):
     return jnp.transpose(x, (0, 2, 3, 1))
 
 
+def cast_params_bf16(variables: dict) -> dict:
+    """Cast float32 params to bfloat16 for inference, EXCEPT normalization
+    scale/bias (GroupNorm 'gn', LayerNorm 'norm*'): norm statistics are
+    precision-sensitive and the params are tiny, so they stay float32 (the
+    activations they touch promote back to f32, which XLA fuses for free;
+    the HBM-bandwidth win comes from the conv/dense kernels)."""
+    import jax.tree_util as jtu
+
+    def cast(path, x):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if any("norm" in n or n == "gn" for n in names):
+            return x
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jtu.tree_map_with_path(cast, variables)
+
+
 def dpt_hybrid_384(
     num_channels: int = 1, checkpoint: str | None = None, image_size: int = 384,
     dtype: str = "float32",
@@ -53,11 +72,7 @@ def dpt_hybrid_384(
             jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
         )
     if dtype == "bfloat16":
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            variables,
-        )
+        variables = cast_params_bf16(variables)
 
     @jax.jit
     def apply(variables, x_nchw):
