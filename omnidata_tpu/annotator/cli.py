@@ -276,12 +276,12 @@ def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
                 )
             if "segment_unsup2d" in tasks:
                 rgb = get("rgb")
-                gray = np.asarray(rgb, np.float64).mean(-1)
                 labels = segment_2d(
-                    gray,
+                    np.asarray(rgb, np.float64),
                     scale=settings.SEGMENTATION_2D_SCALE,
                     blur=settings.SEGMENTATION_2D_BLUR,
                     cut_thresh=settings.SEGMENTATION_2D_CUT_THRESH,
+                    self_edge_weight=settings.SEGMENTATION_2D_SELF_EDGE_WEIGHT,
                 )
                 save_png(
                     file_name_for(os.path.join(model_path, "segment_unsup2d"), p, v,
@@ -296,6 +296,7 @@ def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
                     edge_weight=settings.SEGMENTATION_25D_EDGE_WEIGHT,
                     scale=settings.SEGMENTATION_25D_SCALE,
                     cut_thresh=settings.SEGMENTATION_25D_CUT_THRESH,
+                    self_edge_weight=settings.SEGMENTATION_25D_SELF_EDGE_WEIGHT,
                 )
                 save_png(
                     file_name_for(os.path.join(model_path, "segment_unsup25d"), p, v,

@@ -59,11 +59,13 @@ class Settings:
     SEGMENTATION_2D_BLUR: float = 3.0
     SEGMENTATION_2D_SCALE: float = 200.0
     SEGMENTATION_2D_CUT_THRESH: float = 0.005
+    SEGMENTATION_2D_SELF_EDGE_WEIGHT: float = 1.0
     SEGMENTATION_25D_SCALE: float = 200.0
     SEGMENTATION_25D_DEPTH_WEIGHT: float = 2.0
     SEGMENTATION_25D_NORMAL_WEIGHT: float = 1.0
     SEGMENTATION_25D_EDGE_WEIGHT: float = 10.0
     SEGMENTATION_25D_CUT_THRESH: float = 1.0
+    SEGMENTATION_25D_SELF_EDGE_WEIGHT: float = 1.0
 
     # ---- runtime ----
     RANDOM_SEED: int = 42

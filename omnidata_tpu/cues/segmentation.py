@@ -49,10 +49,28 @@ class _UnionFind:
         return ra
 
 
+def _img_as_float(img: np.ndarray) -> np.ndarray:
+    """skimage img_as_float semantics: uint8 -> /255, uint16 -> /65535,
+    floats pass through."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img / 255.0
+    if img.dtype == np.uint16:
+        return img / 65535.0
+    return img.astype(np.float64)
+
+
 def felzenszwalb(img: np.ndarray, scale: float = 200.0, sigma: float = 0.8,
                  min_size: int = 20) -> np.ndarray:
-    """Graph-based superpixels; img (H,W) or (H,W,C) float. Returns labels."""
-    img = np.atleast_3d(np.asarray(img, np.float64))
+    """Graph-based superpixels; img (H,W) or (H,W,C). Returns labels.
+
+    Edge costs are computed at the 0-255 scale (img_as_float then x255 —
+    skimage's felzenszwalb does the same, which is why the reference's
+    scale=200/500 settings produce sensible superpixels on [0,1]-ish float
+    inputs; verified against the published hm3d segment_unsup25d asset:
+    x255 reproduces its region structure with ARI ~0.9 at this stage, while
+    unscaled costs chain-merge into one giant region)."""
+    img = np.atleast_3d(_img_as_float(img)) * 255.0
     if sigma > 0:
         img = np.stack(
             [ndi.gaussian_filter(img[..., c], sigma) for c in range(img.shape[-1])], -1
@@ -144,44 +162,69 @@ def _ncut_value(Wm, mask):
 
 
 def _two_way_ncut(Wm, thresh, num_cuts, rng):
+    """One recursive step of skimage's graph.cut_normalized: Fiedler vector of
+    the normalized Laplacian via shift-invert eigsh (sigma=0, 'LM' — the 'SM'
+    mode fails to converge on near-disconnected RAGs), threshold sweep over
+    num_cuts candidates, split only if the best NCut value <= thresh.
+    Wm must already carry the self-loop diagonal (max_edge)."""
     n = Wm.shape[0]
     if n < 3:
         return None
     d = np.asarray(Wm.sum(1)).ravel()
-    # include self-loops like skimage (diagonal max weight)
-    D = sp.diags(d + 1e-12)
+    D = sp.diags(d)
     L = D - Wm
-    Dm12 = sp.diags(1.0 / np.sqrt(d + 1e-12))
+    Dm12 = sp.diags(1.0 / np.sqrt(d + 1e-300))
     A = Dm12 @ L @ Dm12
-    try:
-        vals, vecs = spla.eigsh(A.astype(np.float64), k=min(2, n - 1), sigma=None,
-                                which="SM", maxiter=5000)
-    except Exception:
-        return None
+    if n <= 512:
+        # dense solve: deterministic and immune to ARPACK non-convergence /
+        # singular shift-inverts on (near-)disconnected RAGs
+        import scipy.linalg as sla
+
+        vals, vecs = sla.eigh(A.toarray())
+    else:
+        k = min(100, n - 2)
+        try:
+            # shift slightly negative: A >= 0 so A + eps*I is never singular
+            vals, vecs = spla.eigsh(
+                A.astype(np.float64), k=k, sigma=-1e-6, which="LM"
+            )
+        except Exception:
+            return None
     order = np.argsort(vals)
     if len(order) < 2:
         return None
-    fiedler = Dm12 @ vecs[:, order[1]]
+    # threshold the raw eigenvector of the normalized system (skimage sweeps
+    # ev, not Dm12 @ ev), over num_cuts candidates from min (inclusive) up
+    fiedler = vecs[:, order[1]]
     lo, hi = fiedler.min(), fiedler.max()
     if hi - lo < 1e-12:
         return None
     best = (np.inf, None)
-    for t in np.linspace(lo, hi, num_cuts + 2)[1:-1]:
+    for t in np.linspace(lo, hi, num_cuts, endpoint=False):
         mask = fiedler > t
         if mask.all() or (~mask).all():
             continue
         v = _ncut_value(Wm, mask)
         if v < best[0]:
             best = (v, mask)
-    if best[1] is None or best[0] > thresh:
+    if best[1] is None or not (best[0] < thresh):
         return None
     return best[1]
 
 
 def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
-                   num_cuts: int = 10, seed: int = 0) -> np.ndarray:
-    """Recursively bipartition the RAG; relabel the image."""
+                   num_cuts: int = 10, seed: int = 0,
+                   max_edge: float = 1.0) -> np.ndarray:
+    """Recursively bipartition the RAG; relabel the image.
+
+    max_edge: self-loop weight added to every node before cutting (skimage
+    cut_normalized's max_edge / the reference's SEGMENTATION_*_SELF_EDGE_WEIGHT
+    — create_segmentation_25d_images.py:62-67). Self-loops keep D well-
+    conditioned on near-disconnected RAGs and damp trivial single-node cuts."""
     rng = np.random.RandomState(seed)
+    Wm = Wm.tolil(copy=True)
+    Wm.setdiag(max_edge)
+    Wm = Wm.tocsr()
     n = Wm.shape[0]
     region_of = np.zeros(n, np.int64)  # final region id per original segment
     next_id = [0]
@@ -200,13 +243,16 @@ def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
     return region_of[labels]
 
 
-def segment_2d(gray: np.ndarray, scale: float = 200.0, blur: float = 3.0,
-               cut_thresh: float = 0.005, num_cuts: int = 10) -> np.ndarray:
+def segment_2d(img: np.ndarray, scale: float = 200.0, blur: float = 3.0,
+               cut_thresh: float = 0.005, num_cuts: int = 10,
+               self_edge_weight: float = 1.0) -> np.ndarray:
     """segment_unsup2d (create_segmentation_2d_images.py:41-85): felzenszwalb
-    on the (blurred) image, mean-color RAG, normalized cuts."""
-    labels = felzenszwalb(gray, scale=scale, sigma=blur, min_size=20)
-    Wm, _ = rag_mean_color(gray, labels)
-    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts)
+    on the (blurred) rgb/gray image (0-255 scale), mean-color RAG, normalized
+    cuts."""
+    labels = felzenszwalb(img, scale=scale, sigma=blur, min_size=20)
+    Wm, _ = rag_mean_color(img, labels)
+    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts,
+                          max_edge=self_edge_weight)
 
 
 def segment_25d(
@@ -219,6 +265,7 @@ def segment_25d(
     scale: float = 200.0,
     cut_thresh: float = 1.0,
     num_cuts: int = 100,
+    self_edge_weight: float = 1.0,
 ) -> np.ndarray:
     """segment_unsup25d (create_segmentation_25d_images.py:47-120): 5-channel
     [w_d*log(depth)/16, w_n*smoothed normal, w_e*edge] -> felz(min_size=200)
@@ -244,6 +291,13 @@ def segment_25d(
         ],
         -1,
     )
+    # felzenszwalb lifts costs to the 0-255 scale internally; the RAG sees
+    # the raw [0,~1] float channels with sigma=255 (exactly what the
+    # reference feeds skimage: create_segmentation_25d_images.py:104-113) —
+    # all similarity weights land near 1, so the ncut stage partitions the
+    # superpixel graph nearly uniformly, which is what the published
+    # segment_unsup25d assets show (regions ~= 1-3 superpixels each).
     labels = felzenszwalb(img, scale=scale, sigma=0.0, min_size=200)
     Wm, _ = rag_mean_color(img, labels)
-    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts)
+    return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts,
+                          max_edge=self_edge_weight)

@@ -168,8 +168,10 @@ def test_bake_and_render_curvature():
 
 
 def test_felzenszwalb_segments_two_regions():
+    # float inputs are [0,1]-scale (img_as_float convention); felzenszwalb
+    # lifts costs to 0-255 internally
     img = np.zeros((24, 24), np.float64)
-    img[:, 12:] = 10.0
+    img[:, 12:] = 0.5
     labels = felzenszwalb(img, scale=1.0, sigma=0.0, min_size=5)
     assert len(np.unique(labels)) == 2
     assert (labels[:, :12] == labels[0, 0]).all()
@@ -177,10 +179,10 @@ def test_felzenszwalb_segments_two_regions():
 
 def test_segment_2d_pipeline():
     rng = np.random.RandomState(0)
-    # 0-255 scale (the RAG similarity sigma=255 convention assumes it)
-    img = rng.rand(32, 33) * 2.0
-    img[:, 11:22] += 128.0
-    img[:, 22:] += 255.0
+    # uint8 rgb as the reference feeds it (create_segmentation_2d_images.py)
+    img = (rng.rand(32, 33) * 2.0).astype(np.uint8)
+    img[:, 11:22] += 128
+    img[:, 22:] += 253
     labels = segment_2d(img, scale=50.0, blur=0.5, cut_thresh=0.005)
     assert labels.shape == (32, 33)
     assert len(np.unique(labels)) >= 3
@@ -225,3 +227,68 @@ def test_keypoints3d_driver_contract():
     out = keypoints3d_from_depth_code(code, fov_rads=1.0, resolution=32,
                                       support_size=0.5)
     assert out.dtype == np.uint16 and out.shape == (32, 32)
+
+
+def test_keypoints2d_matches_direct_convolution():
+    """The gather-free integral-image box sums must equal a dense correlation
+    with explicitly constructed SURF box kernels (independent compute path;
+    validates every slice offset in hessian_det_appx)."""
+    import scipy.ndimage as ndi
+    from omnidata_tpu.cues.keypoints2d import (
+        _pad_integral, hessian_det_appx, integral_image,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64)
+    H, W = img.shape
+    padded = _pad_integral(integral_image(jnp.asarray(img, jnp.float32)))
+
+    for sigma in (2.0, 5.0, 10.0):
+        size = int(3 * sigma)
+        s2 = (size - 1) // 2
+        s3 = size // 3
+        w_i = 1.0 / (size * size)
+        off = size + 2
+        K = 2 * off + 1
+
+        def kern(regions):
+            k = np.zeros((K, K))
+            for (r0, c0, rl, cl), wgt in regions:
+                k[off + r0 : off + r0 + rl, off + c0 : off + c0 + cl] += wgt
+            return k
+
+        k_xy = kern([((-s3, -s3, s3, s3), 1), ((1, 1, s3, s3), 1),
+                     ((1, -s3, s3, s3), -1), ((-s3, 1, s3, s3), -1)]) * w_i
+        k_xx = kern([((-s3 + 1, -s2, 2 * s3 - 1, size), -1),
+                     ((-s3 + 1, -(s3 // 2), 2 * s3 - 1, s3), 3)]) * w_i
+        k_yy = kern([((-s2, -s3 + 1, size, 2 * s3 - 1), -1),
+                     ((-(s3 // 2), -s3 + 1, s3, 2 * s3 - 1), 3)]) * w_i
+
+        conv = lambda k: ndi.correlate(img, k, mode="constant")
+        want = conv(k_xx) * conv(k_yy) - 0.81 * conv(k_xy) ** 2
+        got = np.asarray(hessian_det_appx(padded, H, W, sigma))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_keypoints2d_detects_blob_centers_and_scales():
+    """Behavioral check (what the cue is for): DoH max-over-scales response
+    peaks at gaussian blob centers, and a larger blob produces a response at
+    least as spread out."""
+    from omnidata_tpu.cues.keypoints2d import keypoints2d
+
+    H = W = 96
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.zeros((H, W))
+    blobs = [(24, 24, 3.0), (70, 60, 8.0)]
+    for (cy, cx, s) in blobs:
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    resp = np.asarray(keypoints2d(jnp.asarray(img, jnp.float32)))
+    # response maxima land within 3 px of each blob center
+    for (cy, cx, s) in blobs:
+        r = resp[cy - 12 : cy + 12, cx - 12 : cx + 12]
+        py, px = np.unravel_index(np.argmax(r), r.shape)
+        assert abs(py - 12) <= 3 and abs(px - 12) <= 3, (cy, cx, py, px)
+    # both blobs clearly above background
+    bg = np.median(resp)
+    for (cy, cx, s) in blobs:
+        assert resp[cy, cx] > bg + 0.1 * resp.max()

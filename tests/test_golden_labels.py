@@ -59,20 +59,66 @@ def test_edge_occlusion_exact(assets, pv):
     assert np.abs(ours.astype(float) - ref.astype(float)).mean() / 65535 < 1e-4
 
 
-def test_keypoints3d_structurally_similar(assets):
+@pytest.mark.parametrize("pv", ["0_view_3", "12_view_1", "27_view_0"])
+def test_keypoints3d_structurally_similar(assets, pv):
     """Our NARF-style interest image is a reimplementation, not a PCL port —
-    require structural similarity (positive correlation concentrated where
-    the reference responds) rather than parity."""
+    require structural similarity rather than parity: positive correlation
+    and interest-mass concentration (our top-10% response region must
+    capture >=2.5x the reference interest mass a random 10% region would).
+    Measured on these views: corr 0.26-0.47, mass 0.33-0.47.
+    The demo generated these with DEPTH_ZBUFFER_MAX_DISTANCE_METERS=8 and
+    KEYPOINT_SUPPORT_SIZE=0.3 (run-demo.sh); per-view FOV is unpublished,
+    so a representative 1.0 rad is used."""
     from omnidata_tpu.cues import keypoints3d_from_depth_code
 
     base = assets / "hm3d"
-    d = _png(base / "point_12_view_1_domain_depth_zbuffer.png").astype(np.uint16)
-    ref = _png(base / "point_12_view_1_domain_keypoints3d.png")
-    # HM3D used the 'all' config: support 0.3 m, fov unknown per view — use
-    # a representative 1.0 rad; the interest structure is scale-tolerant.
-    ours = keypoints3d_from_depth_code(d[::4, ::4], fov_rads=1.0, resolution=128,
-                                       support_size=0.3)
-    ref_small = ref[::4, ::4]
-    corr = np.corrcoef(ours.ravel().astype(float), ref_small.ravel().astype(float))[0, 1]
-    assert np.isfinite(corr)
-    assert ours.max() > 0
+    d = _png(base / f"point_{pv}_domain_depth_zbuffer.png").astype(np.uint16)
+    ref = _png(base / f"point_{pv}_domain_keypoints3d.png").astype(np.float64)
+    ours = keypoints3d_from_depth_code(d[::2, ::2], fov_rads=1.0, resolution=256,
+                                       support_size=0.3, max_meters=8.0)
+    ref_small = ref[::2, ::2]
+    corr = np.corrcoef(ours.ravel().astype(float), ref_small.ravel())[0, 1]
+    assert corr > 0.2, corr
+    top10 = ours >= np.percentile(ours, 90)
+    mass = ref_small[top10].sum() / max(ref_small.sum(), 1)
+    assert mass > 0.25, mass
+
+
+def _adjusted_rand(a, b):
+    a = a.ravel()
+    b = b.ravel()
+    n = float(a.size)
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    C = np.zeros((ai.max() + 1, bi.max() + 1), np.float64)
+    np.add.at(C, (ai, bi), 1)
+    sc = (C * (C - 1) / 2).sum()
+    sa = (C.sum(1) * (C.sum(1) - 1) / 2).sum()
+    sb = (C.sum(0) * (C.sum(0) - 1) / 2).sum()
+    tot = n * (n - 1) / 2
+    exp = sa * sb / tot
+    mx = (sa + sb) / 2
+    return (sc - exp) / (mx - exp)
+
+
+@pytest.mark.parametrize("pv", ["point_0_view_3", "point_12_view_1"])
+def test_segment_unsup25d_golden(reference_root, pv):
+    """Full 2.5D segmentation pipeline against the published hm3d assets,
+    fed the published depth/normal/edge_occlusion inputs for the same views
+    (create_segmentation_25d_images.py:47-120). Label ids are arbitrary, so
+    agreement is scored by adjusted Rand index; eigensolver/tie-break
+    differences keep it below 1.0 (measured 0.90/0.92 on these views)."""
+    from PIL import Image
+
+    from omnidata_tpu.cues.segmentation import segment_25d
+
+    base = reference_root / "omnidata_annotator/assets/hm3d"
+    load = lambda dom: np.asarray(Image.open(base / f"{pv}_domain_{dom}.png"))
+    ours = segment_25d(
+        load("depth_zbuffer"), load("normal"), load("edge_occlusion")
+    )
+    gold = load("segment_unsup25d")
+    n_ours = len(np.unique(ours))
+    n_gold = len(np.unique(gold))
+    assert abs(n_ours - n_gold) <= max(10, n_gold // 2), (n_ours, n_gold)
+    assert _adjusted_rand(ours, gold) > 0.6
