@@ -95,13 +95,17 @@ def make_component_dataset(
     c = COMPONENTS.get(component)
     if c is None:
         raise KeyError(f"unknown component {component!r}; known: {sorted(COMPONENTS)}")
-    return OmnidataDataset(
-        Options(
-            data_path=data_path,
-            tasks=tuple(tasks or c.default_tasks),
-            image_size=image_size,
-            split=split,
-            random_crop=c.random_crop,
-            **kw,
-        )
+    meta_path = kw.pop("meta_path", None)
+    options = Options(
+        data_path=data_path,
+        tasks=tuple(tasks or c.default_tasks),
+        image_size=image_size,
+        split=split,
+        random_crop=c.random_crop,
+        **kw,
     )
+    if component == "hypersim":
+        from .hypersim import HypersimDataset
+
+        return HypersimDataset(options, meta_path=meta_path)
+    return OmnidataDataset(options)

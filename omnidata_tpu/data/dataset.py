@@ -59,6 +59,10 @@ class OmnidataDataset:
             t: get_transform(t, options.image_size) for t in options.tasks
         }
         self.index = self._build_index()
+        # component subclasses install per-task hooks fn(arr, building, point,
+        # view) -> arr, applied right after the task transform and BEFORE the
+        # joint crop/flip (e.g. hypersim world->cam normals, NYU40 remap)
+        self.post_transform_hooks: dict = {}
         # O(1) multiview lookup: (building, point) -> index positions
         self._bp_map: dict = {}
         for i, (b, p, _, _) in enumerate(self.index):
@@ -141,6 +145,9 @@ class OmnidataDataset:
             data = default_loader(paths[task])
             tr = self.transforms[task]
             arr = tr(data) if tr is not None else data
+            hook = self.post_transform_hooks.get(task)
+            if hook is not None:
+                arr = hook(arr, building, point, view)
             if isinstance(arr, np.ndarray) and size and arr.ndim in (2, 3):
                 h, w = arr.shape[-2], arr.shape[-1]
                 if h != size or w != size:  # non-square source: crop square

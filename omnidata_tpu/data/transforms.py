@@ -95,8 +95,9 @@ def get_transform(task: str, image_size: int | None = None):
         base = transform_16bit_single_channel
     elif task in ("principal_curvature", "curvature"):
         base = transform_8bit_n_channel(2, crop_channels=True)
-    elif task in ("segment_semantic", "segment_instance", "fragments",
-                  "segment_panoptic"):
+    elif task in ("semantic", "segment_semantic", "segment_instance",
+                  "fragments", "segment_panoptic", "segment_unsup2d",
+                  "segment_unsup25d"):
         base = transform_dense_labels
     elif task in ("class_object", "class_scene"):
         base = lambda x: np.asarray(x, np.float32)
@@ -129,11 +130,10 @@ def default_loader(path: str):
     """png/hdf5/npy/json loader (transforms.py:124-147)."""
     if path.endswith(".hdf5"):
         import h5py
-        from PIL import Image
 
         with h5py.File(path, "r") as f:
-            data = f["dataset"][:]
-        return Image.fromarray(np.uint8(np.repeat(data[..., None], 3, -1)))
+            return np.asarray(f["dataset"][:])  # raw ids (hypersim NYU40
+            # semantics are int16 with -1 = undefined; do not quantize)
     if path.endswith(".npy"):
         return np.load(path)
     if path.endswith(".json"):
