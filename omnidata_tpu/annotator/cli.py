@@ -165,6 +165,12 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     for t in tasks:
         os.makedirs(os.path.join(model_path, t), exist_ok=True)
 
+    # multi-host: each process annotates its stripe of the point list (the
+    # reference's num_chunk::total grammar, keyed on jax.process_index())
+    from ..train.multihost import stripe
+
+    infos = stripe(infos)
+
     mods = tuple(t for t in tasks if t in DEVICE_TASKS)
     n_imgs = sum(len(v) for v in infos)
     i = 0

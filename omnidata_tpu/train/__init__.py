@@ -1,4 +1,11 @@
 from .parallel import make_mesh, param_sharding, batch_sharding, replicated
+from .multihost import (
+    initialize as initialize_multihost,
+    stripe,
+    local_batch_to_global,
+    barrier,
+    process_local_batch_size,
+)
 from .state import TrainState, create_train_state, depth_optimizer, normal_optimizer
 from .depth import (
     make_depth_train_step, make_depth_eval_step, depth_loss_fn, SSI_ONLY_STEPS,

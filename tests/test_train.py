@@ -322,3 +322,51 @@ def test_depth_train_step_augment_path():
     )
     s1, m1 = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m1["loss"]))
+
+
+def test_multihost_stripe_partition():
+    """stripe() is disjoint, covering, and order-stable across processes."""
+    from omnidata_tpu.train.multihost import stripe
+
+    items = list(range(23))
+    parts = [stripe(items, process_index=i, process_count=4) for i in range(4)]
+    joined = sorted(x for p in parts for x in p)
+    assert joined == items
+    assert all(len(set(p)) == len(p) for p in parts)
+    # deterministic
+    assert parts[1] == stripe(items, process_index=1, process_count=4)
+    # single process = identity
+    assert stripe(items, process_index=0, process_count=1) == items
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stripe(items, process_index=4, process_count=4)
+
+
+def test_multihost_local_batch_to_global_single_process():
+    """On one process the local batch IS the global batch; the result is a
+    mesh-sharded jax.Array (exercises make_array_from_process_local_data on
+    the 8-device CPU mesh)."""
+    import numpy as np
+
+    from omnidata_tpu.train import make_mesh
+    from omnidata_tpu.train.multihost import (
+        barrier, local_batch_to_global, process_local_batch_size,
+    )
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = {
+        "rgb": np.arange(8 * 3 * 4 * 4, dtype=np.float32).reshape(8, 3, 4, 4),
+        "mask": np.ones((8, 1, 4, 4), np.float32),
+    }
+    g = local_batch_to_global(mesh, batch)
+    assert g["rgb"].shape == (8, 3, 4, 4)
+    np.testing.assert_array_equal(np.asarray(g["rgb"]), batch["rgb"])
+    assert len(g["rgb"].sharding.device_set) == 8
+    assert process_local_batch_size(64) == 64
+    barrier("test")  # no-op single process
+
+
+def test_multihost_initialize_noop_single_process():
+    from omnidata_tpu.train.multihost import initialize
+
+    assert initialize() is False  # cpu backend, no coordinator configured

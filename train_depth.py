@@ -34,6 +34,7 @@ def main(argv=None):
     from omnidata_tpu.models import DPTHybrid
     from omnidata_tpu.train import (
         batch_sharding,
+        local_batch_to_global,
         create_train_state,
         depth_optimizer,
         make_depth_eval_step,
@@ -122,6 +123,10 @@ def main(argv=None):
             "depth": batch["depth_zbuffer"].astype(np.float32),
             "mask_valid": batch["mask_valid"] > 0.5,
         }
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its local stripe of the
+            # global batch (omnidata_tpu.train.multihost)
+            return local_batch_to_global(mesh, b)
         return jax.device_put(b, {k: b_shard for k in b})
 
     def validate(step):

@@ -31,6 +31,7 @@ def main(argv=None):
     from omnidata_tpu.models import DPTHybrid, UNet
     from omnidata_tpu.train import (
         batch_sharding,
+        local_batch_to_global,
         create_train_state,
         make_mesh,
         make_normal_eval_step,
@@ -113,6 +114,10 @@ def main(argv=None):
             "normal": batch["normal"].astype(np.float32),
             "mask_valid": batch["mask_valid"] > 0.5,
         }
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its local stripe of the
+            # global batch (omnidata_tpu.train.multihost)
+            return local_batch_to_global(mesh, b)
         return jax.device_put(b, {k: b_shard for k in b})
 
     def validate(step):
