@@ -85,6 +85,28 @@ def run_points(model_path: str, settings) -> None:
                                               settings.SPHERE_SCALING_FACTOR)
     if len(cams) == 0:
         raise RuntimeError("no viable camera locations found")
+    if settings.POINT_TYPE == "SWEEP":
+        # per-camera sweep / pano cube-face views with K/RT matrices
+        # (generate_points.py:624-686, io_utils.py:388-458)
+        from ..sampling.sweep import generate_points_per_camera
+
+        poses = {
+            str(i).zfill(4): {
+                "position": cams[i],
+                "rotation": (np.pi / 2, 0.0, rng.uniform(-np.pi, np.pi)),
+            }
+            for i in range(len(cams))
+        }
+        infos = generate_points_per_camera(
+            poses, num_points=settings.NUM_POINTS_PER_CAMERA,
+            resolution=settings.RESOLUTION, rng=rng,
+            panos=settings.CREATE_PANOS,
+        )
+        save_point_info(model_path, infos)
+        save_camera_poses(model_path, cams)
+        n_views = sum(len(v) for v in infos)
+        print(f"[points] SWEEP: {len(infos)} cameras, {n_views} views")
+        return
     infos = generate_points(
         mesh, cams, rng,
         n_points=settings.NUM_POINTS,
@@ -216,11 +238,19 @@ def run_pano(model_path: str, settings) -> None:
     from ..mesh.shade import face_labels as face_labels_fn
     from ..mesh.shade import smooth_normals_world
 
+    from ..mesh.shade import textured_colors, vertex_colors
+
     mesh = find_mesh(model_path)
     cams = json.load(open(os.path.join(model_path, "camera_poses.json")))
     W, H = settings.PANO_RESOLUTION
     R_level = euler_xyz_to_matrix(jnp.asarray([np.pi / 2, 0.0, 0.0]))
-    for t in ("depth_euclidean", "normal") + (("semantic",) if mesh.face_labels is not None else ()):
+    has_rgb = mesh.vertex_colors is not None or (
+        mesh.texture is not None and mesh.vertex_uvs is not None
+    )
+    tasks = ("depth_euclidean", "normal")
+    tasks += ("rgb",) if has_rgb else ()
+    tasks += ("semantic",) if mesh.face_labels is not None else ()
+    for t in tasks:
         os.makedirs(os.path.join(model_path, t), exist_ok=True)
     for cam in cams:
         loc = jnp.asarray(cam["location"], jnp.float32)
@@ -243,6 +273,13 @@ def run_pano(model_path: str, settings) -> None:
         ], -1)
         col = jnp.where(frag.valid[..., None], jnp.clip(col, 0, 1), 0.5)
         save_png(fn("normal"), np.asarray(img_as_uint8(col)))
+        if has_rgb:
+            if mesh.texture is not None and mesh.vertex_uvs is not None:
+                rgb = textured_colors(frag, mesh)
+            else:
+                rgb = vertex_colors(frag, mesh)
+            rgb = jnp.where(frag.valid[..., None], jnp.clip(rgb, 0, 1), 0.0)
+            save_png(fn("rgb"), np.asarray(img_as_uint8(rgb)))
         if mesh.face_labels is not None:
             save_png(fn("semantic"), np.asarray(
                 face_labels_fn(frag, mesh, 0).astype(jnp.uint8)))

@@ -40,6 +40,7 @@ class Settings:
 
     # ---- points (generate_points.py knobs) ----
     NUM_POINTS: int = 12
+    NUM_POINTS_PER_CAMERA: int = 6  # sweep views per camera (SWEEP mode)
     MIN_VIEWS_PER_POINT: int = 3
     MAX_VIEWS_PER_POINT: int = 25
     POINT_TYPE: str = "CORRESPONDENCES"

@@ -14,6 +14,8 @@ camera distance, obliqueness, pitch, and nonfixated cross-links.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 MIN_FOV_RADS = np.deg2rad(30.0)   # settings.py:143-144
@@ -186,6 +188,16 @@ def generate_points(
                 "resolution": resolution,
                 "nonfixated_points_in_view": [],
             }
+            # skybox cube-face bookkeeping (get_skybox_path_info,
+            # io_utils.py:376-385): which face of the camera's original
+            # orientation contains the point, and the Matterport-style path
+            from .sweep import skybox_face_of_direction
+
+            sky = skybox_face_of_direction(d, Rorig)
+            view["skybox_img"] = sky
+            view["skybox_img_path"] = os.path.join(
+                "./img/high", f"{int(cam_idx)}_skybox{sky}.jpg"
+            )
             views.append(view)
             all_views.append((p_out, view_id, int(cam_idx), Rfix, fov))
         point_infos.append(views)

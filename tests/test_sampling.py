@@ -195,3 +195,99 @@ def test_object_mode_annotation(tmp_path):
     arr = np.asarray(Image.open(outs[0]))
     # object mode: some pixels hit the cube (< 65535), background invalid
     assert (arr < 65535).any() and (arr == 65535).any()
+
+
+def test_sweep_cube_faces_and_k_rt():
+    """Pano sweep: 6 cube-face view dicts with consistent K/RT — projecting a
+    point along the camera's forward axis lands at the image center, and the
+    six face directions cover +-x/+-y/+-z."""
+    import jax.numpy as jnp
+
+    from omnidata_tpu.core.rotations import euler_xyz_to_matrix
+    from omnidata_tpu.sampling.sweep import generate_points_per_camera
+
+    poses = {"0000": {"position": (1.0, 2.0, 1.5),
+                      "rotation": (np.pi / 2, 0.0, 0.3)}}
+    rng = np.random.RandomState(0)
+    infos = generate_points_per_camera(poses, resolution=64, rng=rng, panos=True)
+    assert len(infos) == 1 and len(infos[0]) == 6
+
+    dirs = []
+    for view in infos[0]:
+        assert view["field_of_view_rads"] == pytest.approx(np.pi / 2)
+        K = np.asarray(view["camera_k_matrix"])
+        RT = np.asarray(view["camera_rt_matrix"])
+        assert K.shape == (3, 3) and RT.shape == (3, 4)
+        R = np.asarray(
+            euler_xyz_to_matrix(jnp.asarray(view["camera_rotation_final"],
+                                            jnp.float32))
+        )
+        fwd = R @ np.array([0.0, 0.0, -1.0])
+        dirs.append(fwd)
+        # project loc + 2*fwd: center pixel, depth 2
+        p = np.asarray(view["camera_location"]) + 2.0 * fwd
+        cam = RT @ np.append(p, 1.0)
+        uvw = K @ cam
+        uv = uvw[:2] / uvw[2]
+        np.testing.assert_allclose(uv, [32.0, 32.0], atol=1e-3)
+        np.testing.assert_allclose(cam[2], 2.0, atol=1e-5)
+    # 6 directions pairwise: top/bottom opposite, front/back opposite, etc.
+    dirs = np.stack(dirs)
+    G = dirs @ dirs.T
+    np.testing.assert_allclose(G[0], -G[5] * 1.0, atol=1e-4)  # top vs bottom
+    np.testing.assert_allclose(dirs[1], -dirs[3], atol=1e-4)  # front vs back
+    np.testing.assert_allclose(dirs[2], -dirs[4], atol=1e-4)  # right vs left
+    assert abs(dirs[1] @ dirs[2]) < 1e-4  # front orthogonal to right
+
+
+def test_skybox_face_numbering():
+    from omnidata_tpu.sampling.sweep import skybox_face_of_direction
+
+    R = np.eye(3)  # camera local = world: +x right, +y up, -z forward
+    assert skybox_face_of_direction([0, 1, 0], R) == 0   # top
+    assert skybox_face_of_direction([0, 0, -1], R) == 1  # front
+    assert skybox_face_of_direction([1, 0, 0], R) == 2   # right
+    assert skybox_face_of_direction([0, 0, 1], R) == 3   # back
+    assert skybox_face_of_direction([-1, 0, 0], R) == 4  # left
+    assert skybox_face_of_direction([0, -1, 0], R) == 5  # bottom
+
+
+def test_sweep_cli_and_rgb_pano(tmp_path):
+    """POINT_TYPE=SWEEP writes per-camera point_info with K/RT matrices, and
+    the pano task emits rgb equirects for colored meshes."""
+    import glob
+    import json
+    import os
+
+    import omnidata_tpu.annotator.cli as cli
+    from omnidata_tpu.mesh import room
+    from omnidata_tpu.utils.convert_mesh import write_ply
+
+    r = room(size=4.0, height=2.5)
+    v = np.asarray(r.vertices)
+    f = np.asarray(r.faces[: r.num_faces])
+    colors = (np.random.RandomState(0).rand(v.shape[0], 3) * 255).astype(np.uint8)
+    d = str(tmp_path)
+    write_ply(os.path.join(d, "mesh.ply"), v, f, vertex_colors=colors)
+
+    cli.main([
+        "--model_path", d, "--task", "points",
+        "with", "POINT_TYPE=SWEEP", "NUM_POINTS_PER_CAMERA=3",
+        "RESOLUTION=64", "MIN_CAMERA_SPACING=1.5",
+    ])
+    infos = sorted(glob.glob(os.path.join(d, "point_info", "*.json")))
+    assert infos
+    view = json.load(open(infos[0]))
+    assert np.asarray(view["camera_k_matrix"]).shape == (3, 3)
+    assert np.asarray(view["camera_rt_matrix"]).shape == (3, 4)
+
+    cli.main([
+        "--model_path", d, "--task", "pano",
+        "with", "PANO_RESOLUTION=(64,32)",
+    ])
+    rgbs = glob.glob(os.path.join(d, "rgb", "*equirectangular*rgb.png"))
+    assert rgbs
+    from PIL import Image
+
+    arr = np.asarray(Image.open(rgbs[0]))
+    assert arr.shape == (32, 64, 3) and arr.max() > 0
