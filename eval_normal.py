@@ -15,13 +15,47 @@ import json
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--data_path", required=True)
+    p.add_argument("--data_path", default=None,
+                   help="annotator-layout directory (self-annotated eval)")
+    p.add_argument("--oasis_csv", default=None,
+                   help="OASIS_val.csv for the external-benchmark protocol")
+    p.add_argument("--oasis_root", default="",
+                   help="prefix joined onto the csv's relative paths")
+    p.add_argument("--nyu_root", default=None,
+                   help="NYU .h5 directory with normals_gt companions")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--model", default="dpt", choices=["dpt", "unet"])
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.oasis_csv or args.nyu_root:
+        from omnidata_tpu.data.external_eval import (
+            NYUNormalDataset,
+            OASISNormalDatasetVal,
+            evaluate_normals,
+            make_oasis_model_fn,
+        )
+        from omnidata_tpu.models import create_model
+
+        name = ("surface_normal_dpt_hybrid_384" if args.model == "dpt"
+                else "surface_normal_unet")
+        bundle = create_model(name, checkpoint=args.checkpoint)
+        if args.oasis_csv:
+            ds = OASISNormalDatasetVal(args.oasis_csv, root=args.oasis_root)
+        else:
+            ds = NYUNormalDataset(args.nyu_root)
+        result = evaluate_normals(
+            make_oasis_model_fn(bundle.apply, bundle.variables), ds,
+            max_items=args.max_batches * args.batch_size or None,
+            fixed_input_size=(args.image_size, args.image_size),
+        )
+        print(json.dumps(result, indent=2))
+        return
+
+    if not args.data_path:
+        raise SystemExit("one of --data_path / --oasis_csv / --nyu_root required")
 
     import jax.numpy as jnp
     import numpy as np

@@ -136,3 +136,94 @@ def test_hypersim_pose_matrix_chain():
     assert abs(pose["proj_K"][1, 1]) == pytest.approx(1.0)
     # K_inv undoes the crop on x
     assert abs(pose["proj_K_inv"][0, 0]) == pytest.approx(0.75)
+
+
+def _make_oasis_fixture(tmp_path, H=40, W=60):
+    import pickle
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "im0.png")
+    # ROI normal: constant unit normal inside a box, zeros outside
+    n = np.array([0.6, 0.0, 0.8], np.float32)
+    roi = np.zeros((10, 20, 3), np.float32)
+    roi[:, :] = n
+    roi[0, 0] = 0  # a hole -> masked out
+    nd = {"min_y": 5, "max_y": 14, "min_x": 7, "max_x": 26, "normal": roi}
+    with open(tmp_path / "n0.pkl", "wb") as fh:
+        pickle.dump(nd, fh)
+    (tmp_path / "oasis.csv").write_text(
+        "Image,unused1,unused2,Normal\n"
+        f"im0.png,,,n0.pkl\n"
+        f"im0.png,,,\n"  # empty normal column -> skipped
+    )
+    return n
+
+
+def test_oasis_dataset_and_eval(tmp_path):
+    """OASIS loader reconstructs the ROI normal/mask, and evaluate_normals
+    reports ~0 error for a perfect model and the exact analytic angle for a
+    constant wrong prediction."""
+    from omnidata_tpu.data.external_eval import (
+        OASISNormalDatasetVal, evaluate_normals,
+    )
+
+    n = _make_oasis_fixture(tmp_path)
+    ds = OASISNormalDatasetVal(str(tmp_path / "oasis.csv"), root=str(tmp_path),
+                               short_side_size=64)
+    assert len(ds) == 1  # empty-normal row skipped
+    s = ds[0]
+    assert s["orig_size"] == (40, 60)
+    assert s["rgb"].shape[0] == 3 and min(s["rgb"].shape[1:]) == 64
+    assert s["mask"].sum() == 10 * 20 - 1  # hole excluded
+    np.testing.assert_allclose(s["normal"][:, 6, 8], n, atol=1e-6)
+
+    # perfect model: returns the gt normal everywhere (any input size)
+    def perfect(x):
+        out = np.zeros((1, 3) + tuple(x.shape[2:]), np.float32)
+        out[0, :] = n[:, None, None]
+        return out
+
+    r = evaluate_normals(perfect, ds, fixed_input_size=None)
+    assert r["MAE"] < 0.5 and r["11.25"] > 0.99
+
+    # constant prediction at a known angle: rotate n by 30 degrees
+    th = np.deg2rad(30.0)
+    m = np.array([
+        np.cos(th) * n[0] - np.sin(th) * n[2], 0.0,
+        np.sin(th) * n[0] + np.cos(th) * n[2],
+    ], np.float32)
+
+    def off30(x):
+        out = np.zeros((1, 3) + tuple(x.shape[2:]), np.float32)
+        out[0, :] = m[:, None, None]
+        return out
+
+    r = evaluate_normals(off30, ds, fixed_input_size=(32, 32))
+    assert abs(r["MAE"] - 30.0) < 0.5
+    assert r["22.5"] < 0.01 and abs(r["MDAE"] - 30.0) < 0.5
+
+
+def test_oasis_eval_cli(tmp_path):
+    """eval_normal.py --oasis_csv runs the external protocol end-to-end with
+    a real (random-init) UNet."""
+    import contextlib
+    import io
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import eval_normal
+
+    _make_oasis_fixture(tmp_path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_normal.main([
+            "--oasis_csv", str(tmp_path / "oasis.csv"),
+            "--oasis_root", str(tmp_path),
+            "--model", "unet", "--image_size", "64",
+        ])
+    out = _json.loads(buf.getvalue())
+    assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
+    assert 0 <= out["MAE"] <= 180
