@@ -133,6 +133,9 @@ def run_trajectory(model_path: str, settings) -> None:
     import jax.numpy as jnp
     from ..sampling.trajectory import interpolate_trajectory
 
+    from ..core.rotations import euler_xyz_to_matrix, quat_to_matrix
+    from ..sampling.trajectory import order_cameras_chain
+
     infos = load_point_info(model_path)
     out = []
     for views in infos:
@@ -140,12 +143,26 @@ def run_trajectory(model_path: str, settings) -> None:
             continue
         pt = np_.asarray(views[0]["point_location"], np_.float32)
         cams = np_.stack([np_.asarray(v["camera_location"], np_.float32) for v in views])
-        locs, Rs = interpolate_trajectory(cams, pt)
+        # keyframe rotations: the views' own fixated rotations (roll/FOV
+        # continuity — the reference slerps camera_rotation_final)
+        def _R_of(v):
+            if "camera_rotation_final_quaternion" in v:
+                return np_.asarray(quat_to_matrix(
+                    jnp.asarray(v["camera_rotation_final_quaternion"], jnp.float32)))
+            return np_.asarray(euler_xyz_to_matrix(
+                jnp.asarray(v["camera_rotation_final"], jnp.float32)))
+
+        key_Rs = np_.stack([_R_of(v) for v in views])
+        locs, Rs, key_of, is_key = interpolate_trajectory(cams, pt, key_Rs)
+        order = order_cameras_chain(cams, pt)
         frames = []
         for t, (loc, R) in enumerate(zip(locs, Rs)):
-            v = dict(views[0])
+            # interpolated frames copy the governing keyframe's point_info
+            # (fov, point fields) like the reference's cur_point_info copy
+            v = dict(views[int(order[key_of[t]])])
             v["camera_uuid"] = str(t).zfill(4)
             v["view_id"] = t
+            v["fixated"] = bool(is_key[t])
             v["camera_location"] = [float(x) for x in loc]
             v["camera_rotation_final"] = [
                 float(x) for x in np_.asarray(matrix_to_euler_xyz(jnp.asarray(R)))

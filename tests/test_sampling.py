@@ -150,13 +150,45 @@ def test_trajectory_interpolation(scene):
         [[3.0, 0, 1.5], [0.0, 3, 1.5], [-3.0, 0, 1.5]], np.float32
     )
     point = np.array([0.0, 0, 1.0], np.float32)
-    locs, Rs = interpolate_trajectory(cams, point, steps_per_meter=5.0)
+    locs, Rs, key_of, is_key = interpolate_trajectory(cams, point,
+                                                      steps_per_meter=5.0)
     assert len(locs) > 10 and Rs.shape == (len(locs), 3, 3)
-    # every frame fixated: -Z axis points at the target
+    assert key_of.shape == (len(locs),) and is_key.sum() == 3
+    # keyframes exactly fixated; interpolated frames slerp between them
+    # (close to fixated, within the chord-vs-arc gap)
     fwd = point - locs
     fwd /= np.linalg.norm(fwd, axis=1, keepdims=True)
     minus_z = Rs @ np.array([0.0, 0, -1])
-    np.testing.assert_allclose(minus_z, fwd, atol=1e-4)
+    np.testing.assert_allclose(minus_z[is_key], fwd[is_key], atol=1e-4)
+    dots = np.sum(minus_z * fwd, 1)
+    assert dots.min() > 0.8  # never far off the target
+    # rotations are R valid (orthonormal, det +1)
+    for R in Rs[::7]:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        assert np.linalg.det(R) > 0.9
+
+
+def test_trajectory_slerp_preserves_roll():
+    """Keyframes with identical rotation but 90-degree roll: every slerped
+    frame carries the rotation continuously (the reference slerps
+    camera_rotation_final; a per-frame look-at would destroy roll)."""
+    import jax.numpy as jnp
+
+    from omnidata_tpu.core.rotations import rot_z
+
+    cams = np.array([[3.0, 0, 1.5], [0.0, 3, 1.5]], np.float32)
+    point = np.array([0.0, 0, 1.0], np.float32)
+    R0 = np.asarray(rot_z(jnp.asarray(0.0)))
+    R1 = np.asarray(rot_z(jnp.asarray(np.pi / 2)))
+    locs, Rs, key_of, is_key = interpolate_trajectory(
+        cams, point, key_Rs=np.stack([R0, R1]), steps_per_meter=3.0
+    )
+    # ends match the keyframes; intermediate angles increase monotonically
+    np.testing.assert_allclose(Rs[0], R0, atol=1e-5)
+    np.testing.assert_allclose(Rs[-1], R1, atol=1e-5)
+    angles = np.arctan2(Rs[:, 1, 0], Rs[:, 0, 0])
+    assert np.all(np.diff(angles) > -1e-6)
+    assert 0.2 < angles[len(angles) // 2] < np.pi / 2
 
 
 def test_object_mode_annotation(tmp_path):
