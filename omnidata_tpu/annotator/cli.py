@@ -51,14 +51,35 @@ DEVICE_TASKS = {
 }
 
 
-def find_mesh(model_path: str):
-    from ..mesh import load_obj, load_ply
+def find_mesh(model_path: str, settings=None):
+    """Load the scene mesh. Honors MODEL_FILE when set (reference
+    settings.py MODEL_FILE / RGB_MODEL_FILE). OBJs with a sibling .mtl load
+    through the per-face-material path (load_obj_mtl) so rgb/semantic get
+    the obj_mtl variants' material colors/labels."""
+    from ..mesh import load_obj, load_obj_mtl, load_ply
 
-    for name, loader in (("mesh.ply", load_ply), ("mesh.obj", load_obj),
-                         ("mesh_semantic.ply", load_ply)):
+    def load_any(p):
+        if p.endswith(".ply"):
+            return load_ply(p)
+        mtl_exists = False
+        with open(p) as fh:
+            for line in fh:
+                if line.startswith("mtllib"):
+                    mtl = os.path.join(os.path.dirname(p), line.split()[-1])
+                    mtl_exists = os.path.exists(mtl)
+                    break
+        if mtl_exists:
+            return load_obj_mtl(p)[0]
+        return load_obj(p)
+
+    names = []
+    if settings is not None and getattr(settings, "MODEL_FILE", ""):
+        names.append(settings.MODEL_FILE)
+    names += ["mesh.ply", "mesh.obj", "mesh_semantic.ply", "semantic.obj"]
+    for name in names:
         p = os.path.join(model_path, name)
         if os.path.exists(p):
-            return loader(p)
+            return load_any(p)
     raise FileNotFoundError(f"no mesh.ply/mesh.obj under {model_path}")
 
 
@@ -72,7 +93,7 @@ def run_points(model_path: str, settings) -> None:
         save_point_info,
     )
 
-    mesh = find_mesh(model_path)
+    mesh = find_mesh(model_path, settings)
     rng = np.random.RandomState(settings.RANDOM_SEED)
     if settings.SCENE:
         cams = sample_camera_locations_building(
@@ -188,8 +209,8 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     from ..utils.profiler import Profiler
     from .pipeline import annotate_view
 
-    mesh = find_mesh(model_path)
-    if mesh.vertex_colors is None:
+    mesh = find_mesh(model_path, settings)
+    if mesh.vertex_colors is None and mesh.face_colors is None:
         # neutral grey so rgb/edge/keypoint cues are defined for colorless meshes
         import jax.numpy as jnp_
 
@@ -257,7 +278,7 @@ def run_pano(model_path: str, settings) -> None:
 
     from ..mesh.shade import textured_colors, vertex_colors
 
-    mesh = find_mesh(model_path)
+    mesh = find_mesh(model_path, settings)
     cams = json.load(open(os.path.join(model_path, "camera_poses.json")))
     W, H = settings.PANO_RESOLUTION
     R_level = euler_xyz_to_matrix(jnp.asarray([np.pi / 2, 0.0, 0.0]))

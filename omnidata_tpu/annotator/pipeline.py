@@ -35,6 +35,7 @@ from ..cues.reshading import reshade
 from ..mesh.mesh import TriangleMesh
 from ..mesh.raster import render_view, render_view_pallas
 from ..mesh.shade import (
+    face_flat_colors,
     face_labels,
     normals_to_camera,
     smooth_normals_world,
@@ -167,7 +168,8 @@ def annotate_view(
         _, dirs = camera_rays(camera)
         out["reshading"] = img_as_uint8(reshade(frag.t, n_world, dirs, frag.valid))
 
-    if needs_rgb and (has_colors or has_texture):
+    has_face_colors = mesh.face_colors is not None
+    if needs_rgb and (has_colors or has_texture or has_face_colors):
         if attr_img is not None and "uv" in attr_slices:
             rgb = _sample_texture(
                 attr_img[..., attr_slices["uv"]], mesh.texture, frag.valid
@@ -179,8 +181,10 @@ def annotate_view(
             )
         elif has_texture:
             rgb = textured_colors(frag, mesh)
-        else:
+        elif has_colors:
             rgb = vertex_colors(frag, mesh)
+        else:  # obj+mtl per-face materials (create_rgb_images_obj_mtl.py)
+            rgb = face_flat_colors(frag, mesh)
         if "rgb" in modalities:
             out["rgb"] = img_as_uint8(rgb)
         gray = jnp.mean(rgb, -1)
@@ -302,15 +306,21 @@ def annotate_views(
         out["reshading"] = img_as_uint8(
             jax.vmap(reshade)(frag.t, n_world, dirs, frag.valid))
 
-    if needs_rgb and (has_colors or has_texture):
+    has_face_colors = mesh.face_colors is not None
+    if needs_rgb and (has_colors or has_texture or has_face_colors):
         if "uv" in attr_slices:
             rgb = jax.vmap(lambda uv, valid: _sample_texture(uv, mesh.texture, valid))(
                 attr_img[..., attr_slices["uv"]], frag.valid
             )
-        else:
+        elif "rgb" in attr_slices:
             rgb = jnp.where(
                 frag.valid[..., None],
                 jnp.clip(attr_img[..., attr_slices["rgb"]], 0.0, 1.0), 0.0,
+            )
+        else:  # per-face material colors: plain XLA gather on face ids
+            rgb = jnp.where(
+                frag.valid[..., None],
+                mesh.face_colors[jnp.maximum(frag.face, 0)], 0.0,
             )
         if "rgb" in modalities:
             out["rgb"] = img_as_uint8(rgb)

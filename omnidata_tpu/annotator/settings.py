@@ -44,6 +44,7 @@ class Settings:
     MIN_VIEWS_PER_POINT: int = 3
     MAX_VIEWS_PER_POINT: int = 25
     POINT_TYPE: str = "CORRESPONDENCES"
+    MODEL_FILE: str = ""  # explicit mesh filename (else mesh.ply/mesh.obj)
     MIN_VIEWS_AFTER_PRUNE: int = 1
     MIN_NONFIXATED_AFTER_PRUNE: int = 1
     CREATE_PANOS: bool = False

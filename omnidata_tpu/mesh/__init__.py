@@ -1,4 +1,6 @@
 from .mesh import (
+    load_obj_mtl,
+    parse_mtl,
     TriangleMesh,
     from_arrays,
     compute_normals,
@@ -13,6 +15,7 @@ from .mesh import (
 from .raycast import RayHits, raycast, any_hit_within, count_crossings
 from .raster import Fragments, render_view, render_views, render_view_pallas, render_views_fused, scene_pack, bin_triangles
 from .shade import (
+    face_flat_colors,
     interpolate_vertex_attribute,
     smooth_normals_world,
     flat_normals_world,

@@ -35,6 +35,8 @@ class TriangleMesh(NamedTuple):
     vertex_uvs: jax.Array | None = None  # (V,2) in [0,1]
     texture: jax.Array | None = None     # (H,W,3) in [0,1]
     num_faces: int = 0
+    face_colors: jax.Array | None = None  # (F,3) in [0,1] (per-face flat
+    # material colors, obj+mtl per-face-material meshes)
 
     @property
     def num_vertices(self) -> int:
@@ -67,6 +69,7 @@ def from_arrays(
     vertex_uvs: np.ndarray | None = None,
     texture: np.ndarray | None = None,
     pad_multiple: int = 256,
+    face_colors: np.ndarray | None = None,
 ) -> TriangleMesh:
     """Build a padded device mesh from host arrays."""
     vertices = np.asarray(vertices, np.float32)
@@ -85,6 +88,10 @@ def from_arrays(
     if face_labels is not None:
         fl_p = np.zeros((F,), np.int32)
         fl_p[:nf] = np.asarray(face_labels, np.int32)
+    fc_p = None
+    if face_colors is not None:
+        fc_p = np.zeros((F, 3), np.float32)
+        fc_p[:nf] = np.asarray(face_colors, np.float32)
 
     return TriangleMesh(
         vertices=jnp.asarray(vertices),
@@ -102,6 +109,7 @@ def from_arrays(
             np.asarray(texture, np.float32)
         ),
         num_faces=nf,
+        face_colors=None if fc_p is None else jnp.asarray(fc_p),
     )
 
 
@@ -358,3 +366,140 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
     return from_arrays(verts, np.asarray(faces, np.int32),
                        vertex_colors=colors, face_labels=labels,
                        pad_multiple=pad_multiple)
+
+
+def parse_mtl(path: str) -> dict:
+    """Minimal .mtl parser: {material_name: {'Kd': (3,), 'map_Kd': path}}."""
+    import os as _os
+
+    mats: dict = {}
+    cur = None
+    if not _os.path.exists(path):
+        return mats
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "newmtl":
+                cur = parts[1]
+                mats[cur] = {"Kd": (0.8, 0.8, 0.8), "map_Kd": None}
+            elif parts[0] == "Kd" and cur:
+                mats[cur]["Kd"] = tuple(float(x) for x in parts[1:4])
+            elif parts[0] == "map_Kd" and cur:
+                mats[cur]["map_Kd"] = _os.path.join(
+                    _os.path.dirname(path), parts[-1]
+                )
+    return mats
+
+
+def load_obj_mtl(path: str, pad_multiple: int = 256, label_map=None):
+    """OBJ with per-face materials (mtllib/usemtl) — the TPU-native
+    equivalent of the reference's obj_mtl render variants
+    (create_rgb_images_obj_mtl.py, create_semantic_images_obj_mtl.py,
+    which load the materials in Blender and render shadeless).
+
+    Produces one mesh carrying BOTH label surfaces:
+    - face_colors: each face's flat material color. For materials with a
+      map_Kd texture the color is sampled at the face's uv centroid
+      (full-texture rgb needs a single-atlas obj - load_obj - or a
+      pre-baked atlas; per-face flat color is the mtl-variant contract).
+    - face_labels: label id per face from the material NAME — label_map
+      (dict or callable name->int) when given, else a trailing integer in
+      the name (e.g. 'mat_12' -> 12), else the material's table index.
+      This is exactly how the reference's semantic obj_mtl variant encodes
+      labels (per-material label colors).
+
+    Returns (mesh, material_names)."""
+    import os as _os
+
+    verts, uvs, faces = [], [], []
+    face_mat: list[int] = []
+    face_uvs: list[tuple] = []
+    mats: dict = {}
+    mat_order: list[str] = []
+    cur_mat = -1
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "mtllib":
+                mats.update(
+                    parse_mtl(_os.path.join(_os.path.dirname(path), parts[-1]))
+                )
+            elif tag == "usemtl":
+                name = parts[1]
+                if name not in mat_order:
+                    mat_order.append(name)
+                cur_mat = mat_order.index(name)
+            elif tag == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif tag == "vt":
+                uvs.append([float(parts[1]), float(parts[2])])
+            elif tag == "f":
+                vi, ti = [], []
+                for ptok in parts[1:]:
+                    comps = ptok.split("/")
+                    vi.append(int(comps[0]) - 1)
+                    ti.append(
+                        int(comps[1]) - 1
+                        if len(comps) > 1 and comps[1] else None
+                    )
+                for i in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[i], vi[i + 1]])
+                    face_mat.append(cur_mat)
+                    face_uvs.append((ti[0], ti[i], ti[i + 1]))
+
+    n_faces = len(faces)
+    face_colors = np.full((n_faces, 3), 0.8, np.float32)
+    textures: dict = {}  # map_Kd path -> float array
+
+    def tex_of(p):
+        if p not in textures:
+            from PIL import Image
+
+            textures[p] = (
+                np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+            )
+        return textures[p]
+
+    uvs_np = np.asarray(uvs, np.float32) if uvs else np.zeros((0, 2), np.float32)
+    for fi in range(n_faces):
+        mi = face_mat[fi]
+        name = mat_order[mi] if 0 <= mi < len(mat_order) else None
+        m = mats.get(name, {"Kd": (0.8, 0.8, 0.8), "map_Kd": None})
+        if m["map_Kd"] and _os.path.exists(m["map_Kd"]) and all(
+            t is not None for t in face_uvs[fi]
+        ):
+            tex = tex_of(m["map_Kd"])
+            uv = uvs_np[list(face_uvs[fi])].mean(0)
+            th, tw = tex.shape[:2]
+            x = int(np.clip(uv[0], 0, 1) * (tw - 1))
+            y = int((1.0 - np.clip(uv[1], 0, 1)) * (th - 1))
+            face_colors[fi] = tex[y, x]
+        else:
+            face_colors[fi] = m["Kd"]
+
+    def label_of(name, idx):
+        if label_map is not None:
+            if callable(label_map):
+                return int(label_map(name))
+            return int(label_map.get(name, 0))
+        import re as _re
+
+        m = _re.search(r"(\d+)$", name or "")
+        return int(m.group(1)) if m else idx
+
+    face_labels = np.asarray(
+        [label_of(mat_order[mi] if 0 <= mi < len(mat_order) else "", mi)
+         for mi in face_mat],
+        np.int32,
+    )
+    mesh = from_arrays(
+        np.asarray(verts), np.asarray(faces, np.int32),
+        face_labels=face_labels, face_colors=face_colors,
+        pad_multiple=pad_multiple,
+    )
+    return mesh, mat_order

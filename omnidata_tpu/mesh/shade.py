@@ -58,6 +58,15 @@ def face_labels(frag: Fragments, mesh: TriangleMesh, background: int = 0) -> jax
     return jnp.where(frag.valid, lab, background)
 
 
+def face_flat_colors(frag: Fragments, mesh: TriangleMesh,
+                     background: float = 0.0) -> jax.Array:
+    """Flat per-face material colors (H,W,3) in [0,1] — the obj+mtl
+    per-face-material rgb variant (create_rgb_images_obj_mtl.py renders
+    shadeless materials; colors baked in load_obj_mtl)."""
+    col = mesh.face_colors[jnp.maximum(frag.face, 0)]
+    return jnp.where(frag.valid[..., None], col, background)
+
+
 def vertex_colors(frag: Fragments, mesh: TriangleMesh,
                   background: float = 0.0) -> jax.Array:
     """Interpolated vertex-color image (H,W,3) in [0,1]

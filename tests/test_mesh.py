@@ -333,3 +333,100 @@ def test_annotate_views_batched_matches_single():
                 diff.max() <= 32 and frac < 1e-3
             )
             assert ok, (k, diff.max(), frac)
+
+
+def test_obj_mtl_per_face_materials(tmp_path):
+    """obj+mtl loader: per-face material colors and material-name labels
+    (create_rgb_images_obj_mtl.py / create_semantic_images_obj_mtl.py)."""
+    from omnidata_tpu.mesh import load_obj_mtl, face_flat_colors
+
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl wall_7\nKd 0.9 0.1 0.1\n"
+        "newmtl floor_3\nKd 0.1 0.8 0.1\n"
+    )
+    # two quads side by side in the z=0 plane, different materials
+    (tmp_path / "scene.obj").write_text(
+        "mtllib scene.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "v 1 0 0\nv 2 0 0\nv 2 1 0\nv 1 1 0\n"
+        "usemtl wall_7\n"
+        "f 1 2 3\nf 1 3 4\n"
+        "usemtl floor_3\n"
+        "f 5 6 7\nf 5 7 8\n"
+    )
+    mesh, names = load_obj_mtl(str(tmp_path / "scene.obj"))
+    assert names == ["wall_7", "floor_3"]
+    fl = np.asarray(mesh.face_labels[: mesh.num_faces])
+    np.testing.assert_array_equal(fl, [7, 7, 3, 3])  # trailing-int labels
+    fc = np.asarray(mesh.face_colors[: mesh.num_faces])
+    np.testing.assert_allclose(fc[0], [0.9, 0.1, 0.1], atol=1e-6)
+    np.testing.assert_allclose(fc[2], [0.1, 0.8, 0.1], atol=1e-6)
+
+    # rendered rgb shows both material colors; semantic shows both labels
+    cam = _camera([1.0, 0.5, 2.0], [1.0, 0.5, 0.0], fov=1.1)
+    frag = render_view(cam, mesh, tile=32, cap=256, chunk=32)
+    img = np.asarray(face_flat_colors(frag, mesh))
+    m = np.asarray(frag.valid)
+    assert ((img[..., 0] > 0.8) & m).any() and ((img[..., 1] > 0.7) & m).any()
+    lab = np.asarray(face_labels(frag, mesh))
+    assert {3, 7} <= set(np.unique(lab[m]))
+
+
+def test_obj_mtl_cli_rgb_semantic(tmp_path):
+    """The annotator CLI renders rgb + semantic from an obj+mtl mesh."""
+    import glob
+    import os
+
+    import omnidata_tpu.annotator.cli as cli
+
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl a_1\nKd 1.0 0.0 0.0\nnewmtl b_2\nKd 0.0 0.0 1.0\n"
+    )
+    # the cube() helper's geometry (correct outward winding), materials
+    # split half/half across its faces
+    c = cube(size=1.0)
+    v = np.asarray(c.vertices)
+    f = np.asarray(c.faces[: c.num_faces])
+    lines = ["mtllib scene.mtl"]
+    for vv in v:
+        lines.append(f"v {vv[0]} {vv[1]} {vv[2]}")
+    lines.append("usemtl a_1")
+    for ff in f[: len(f) // 2]:
+        lines.append(f"f {ff[0]+1} {ff[1]+1} {ff[2]+1}")
+    lines.append("usemtl b_2")
+    for ff in f[len(f) // 2 :]:
+        lines.append(f"f {ff[0]+1} {ff[1]+1} {ff[2]+1}")
+    (tmp_path / "mesh.obj").write_text("\n".join(lines) + "\n")
+
+    d = str(tmp_path)
+    cli.main([
+        "--model_path", d, "--task", "points",
+        "with", "SCENE=False", "NUM_POINTS=2", "RESOLUTION=64",
+        "MIN_VIEWS_PER_POINT=2", "MAX_VIEWS_PER_POINT=3",
+        "MIN_NONFIXATED_AFTER_PRUNE=0",
+    ])
+    cli.main([
+        "--model_path", d, "--task", "rgb",
+        "with", "RESOLUTION=64", "RASTER_TILE=32", "RASTER_CAP=512",
+        "RASTER_CHUNK=64",
+    ])
+    cli.main([
+        "--model_path", d, "--task", "semantic",
+        "with", "RESOLUTION=64", "RASTER_TILE=32", "RASTER_CAP=512",
+        "RASTER_CHUNK=64",
+    ])
+    from PIL import Image
+
+    rgbs = glob.glob(os.path.join(d, "rgb", "*.png"))
+    sems = glob.glob(os.path.join(d, "semantic", "*.png"))
+    assert rgbs and sems
+    lab_vals = set()
+    for p in sems:
+        lab_vals |= set(np.unique(np.asarray(Image.open(p))))
+    assert {1, 2} <= lab_vals  # both material labels rendered
+    saw_red = saw_blue = False
+    for p in rgbs:
+        a = np.asarray(Image.open(p)).astype(int)
+        saw_red |= bool(((a[..., 0] > 200) & (a[..., 2] < 50)).any())
+        saw_blue |= bool(((a[..., 2] > 200) & (a[..., 0] < 50)).any())
+    assert saw_red and saw_blue
