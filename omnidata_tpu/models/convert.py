@@ -111,6 +111,7 @@ def _set(tree: dict, path: str, leaf: str, value: np.ndarray):
 
 def _convert(mapping, state_dict: dict) -> dict:
     params: dict = {}
+    batch_stats: dict = {}
     used = set()
 
     def take(key):
@@ -135,6 +136,11 @@ def _convert(mapping, state_dict: dict) -> dict:
         elif kind in ("norm", "ln"):
             _set(params, flax_path, "scale", take(f"{tkey}.weight"))
             _set(params, flax_path, "bias", take(f"{tkey}.bias"))
+        elif kind == "bn":
+            _set(params, flax_path, "scale", take(f"{tkey}.weight"))
+            _set(params, flax_path, "bias", take(f"{tkey}.bias"))
+            _set(batch_stats, flax_path, "mean", take(f"{tkey}.running_mean"))
+            _set(batch_stats, flax_path, "var", take(f"{tkey}.running_var"))
         elif kind == "raw":
             if "/" in flax_path:
                 path, leaf = flax_path.rsplit("/", 1)
@@ -146,6 +152,8 @@ def _convert(mapping, state_dict: dict) -> dict:
     unused = [k for k in state_dict if k not in used and "num_batches" not in k]
     if unused:
         raise ValueError(f"unconverted torch keys: {unused[:10]} (+{max(0,len(unused)-10)} more)")
+    if batch_stats:
+        return {"params": params, "batch_stats": batch_stats}
     return {"params": params}
 
 
@@ -186,6 +194,14 @@ def synthesize_torch_state_dict(mapping, flax_params: dict) -> dict:
     flat = {"/".join(str(p.key) for p in path): np.asarray(v)
             for path, v in jax.tree_util.tree_flatten_with_path(flax_params["params"])[0]
             for v in [v]}
+    bs_flat = {}
+    if "batch_stats" in flax_params:
+        bs_flat = {
+            "/".join(str(p.key) for p in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(
+                flax_params["batch_stats"])[0]
+            for v in [v]
+        }
     sd = {}
     for flax_path, tkey, kind in mapping:
         if kind == "conv_drop":
@@ -204,6 +220,55 @@ def synthesize_torch_state_dict(mapping, flax_params: dict) -> dict:
         elif kind in ("norm", "ln"):
             sd[f"{tkey}.weight"] = flat[f"{flax_path}/scale"]
             sd[f"{tkey}.bias"] = flat[f"{flax_path}/bias"]
+        elif kind == "bn":
+            sd[f"{tkey}.weight"] = flat[f"{flax_path}/scale"]
+            sd[f"{tkey}.bias"] = flat[f"{flax_path}/bias"]
+            sd[f"{tkey}.running_mean"] = bs_flat[f"{flax_path}/mean"]
+            sd[f"{tkey}.running_var"] = bs_flat[f"{flax_path}/var"]
         elif kind == "raw":
             sd[tkey] = flat[flax_path]
     return sd
+
+
+def _midas_mapping(layers=(3, 4, 23, 3)) -> Iterator[tuple]:
+    """MiDaS v2.1 large (MidasNet: ResNeXt101-wsl + plain fusion decoder).
+
+    Torch layout per midas_net.py + blocks._make_resnet_backbone: stage 1 is
+    Sequential(conv1, bn1, relu, maxpool, resnet.layer1) so its keys are
+    pretrained.layer1.{0,1,4.b}; stages 2-4 are resnet.layer{2,3,4}
+    directly."""
+    yield "pretrained/conv1", "pretrained.layer1.0", "conv_nobias"
+    yield "pretrained/bn1", "pretrained.layer1.1", "bn"
+    for si, n_blocks in enumerate(layers):
+        tstage = (f"pretrained.layer1.4" if si == 0
+                  else f"pretrained.layer{si + 1}")
+        for b in range(n_blocks):
+            fb = f"pretrained/layer{si + 1}_block{b}"
+            tb = f"{tstage}.{b}"
+            for i in (1, 2, 3):
+                yield f"{fb}/conv{i}", f"{tb}.conv{i}", "conv_nobias"
+                yield f"{fb}/bn{i}", f"{tb}.bn{i}", "bn"
+            if b == 0:
+                yield f"{fb}/downsample_conv", f"{tb}.downsample.0", "conv_nobias"
+                yield f"{fb}/downsample_bn", f"{tb}.downsample.1", "bn"
+    for i in (1, 2, 3, 4):
+        yield f"layer{i}_rn", f"scratch.layer{i}_rn", "conv_nobias"
+        for u in (1, 2):
+            for c in (1, 2):
+                if i == 4 and u == 1:
+                    # refinenet4 gets no skip input; its resConfUnit1 exists
+                    # in torch checkpoints but is never executed
+                    yield (None, f"scratch.refinenet4.resConfUnit1.conv{c}",
+                           "conv_drop")
+                else:
+                    yield (f"refinenet{i}/resConfUnit{u}/conv{c}",
+                           f"scratch.refinenet{i}.resConfUnit{u}.conv{c}",
+                           "conv")
+    yield "output_conv1", "scratch.output_conv.0", "conv"
+    yield "output_conv2", "scratch.output_conv.2", "conv"
+    yield "output_conv3", "scratch.output_conv.4", "conv"
+
+
+def convert_midas(state_dict: dict) -> dict:
+    """MiDaS v2.1 (midas_v21-f6b98070.pt style) -> MidasNet Flax variables."""
+    return _convert(_midas_mapping(), strip_prefix(state_dict))

@@ -114,8 +114,53 @@ def surface_normal_unet(checkpoint: str | None = None, image_size: int = 512) ->
     return ModelBundle(module, variables, apply)
 
 
+def midas_v21(checkpoint: str | None = None, image_size: int = 384) -> ModelBundle:
+    """MiDaS v2.1 large: ResNeXt101-32x8d-wsl + plain fusion
+    (modules/midas/midas_net.py). Converts midas_v21 torch checkpoints."""
+    from .convert import convert_midas
+    from .midas_full import MidasNet
+
+    module = MidasNet()
+    if checkpoint:
+        variables = jax.tree.map(jnp.asarray, convert_midas(_load_torch(checkpoint)))
+    else:
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+        )
+
+    @jax.jit
+    def apply(variables, x_nchw):
+        return module.apply(variables, _nchw_to_nhwc(x_nchw))  # (B,H,W)
+
+    return ModelBundle(module, variables, apply)
+
+
+def midas_v21_small(checkpoint: str | None = None, image_size: int = 256) -> ModelBundle:
+    """MiDaS v2.1 small: tf_efficientnet_lite3 + custom expanding fusion
+    (modules/midas/midas_net_custom.py). Random init (no converter yet for
+    the geffnet key layout)."""
+    from .midas_full import MidasNetSmallTF
+
+    module = MidasNetSmallTF()
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+    )
+    if checkpoint:
+        raise NotImplementedError(
+            "midas_v21_small checkpoint conversion not implemented"
+        )
+
+    @jax.jit
+    def apply(variables, x_nchw):
+        return module.apply(variables, _nchw_to_nhwc(x_nchw))
+
+    return ModelBundle(module, variables, apply)
+
+
 MODELS = {
     "dpt_hybrid_384": dpt_hybrid_384,
+    "midas_v21": midas_v21,
+    "midas_v21_small": midas_v21_small,
     "depth_dpt_hybrid_384": depth_dpt_hybrid_384,
     "surface_normal_dpt_hybrid_384": surface_normal_dpt_hybrid_384,
     "surface_normal_unet": surface_normal_unet,

@@ -262,3 +262,123 @@ def test_bf16_cast_keeps_norm_params_f32_and_small_output_delta(dpt_small_variab
         model.apply(bf16_vars, x.astype(jnp.bfloat16)).astype(jnp.float32)
     ).ravel()
     assert np.corrcoef(y32, y16)[0, 1] > 0.9
+
+
+def test_efficientnet_lite3_tap_channels():
+    """The backbone taps must match the reference's scratch config
+    [32, 48, 136, 384] (blocks.py:41) — pins the lite3 width/depth math."""
+    from omnidata_tpu.models import EfficientNetLite3Backbone
+
+    bb = EfficientNetLite3Backbone()
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    feats = bb.apply(v, jnp.zeros((1, 128, 128, 3)))
+    assert [f.shape[-1] for f in feats] == [32, 48, 136, 384]
+    # strides 4 / 8 / 16 / 32
+    assert [f.shape[1] for f in feats] == [32, 16, 8, 4]
+
+
+def test_resnext_bottleneck_matches_torch():
+    """Numeric parity of the grouped bottleneck vs raw torch.nn (the unit the
+    whole ResNeXt101 backbone tiles)."""
+    from omnidata_tpu.models.midas_full import ResNeXtBottleneck
+
+    planes, in_ch = 64, 64
+    tconv1 = torch.nn.Conv2d(in_ch, 256, 1, bias=False)
+    tbn1 = torch.nn.BatchNorm2d(256).eval()
+    tconv2 = torch.nn.Conv2d(256, 256, 3, stride=2, padding=1, groups=32,
+                             bias=False)
+    tbn2 = torch.nn.BatchNorm2d(256).eval()
+    tconv3 = torch.nn.Conv2d(256, 256, 1, bias=False)
+    tbn3 = torch.nn.BatchNorm2d(256).eval()
+    tdown = torch.nn.Conv2d(in_ch, 256, 1, stride=2, bias=False)
+    tdbn = torch.nn.BatchNorm2d(256).eval()
+    torch.manual_seed(0)
+    for m in (tconv1, tconv2, tconv3, tdown):
+        torch.nn.init.normal_(m.weight, std=0.05)
+    for bn in (tbn1, tbn2, tbn3, tdbn):
+        torch.nn.init.normal_(bn.weight, std=0.2)
+        torch.nn.init.normal_(bn.bias, std=0.1)
+        bn.running_mean.normal_(0, 0.1)
+        bn.running_var.uniform_(0.5, 1.5)
+
+    x = np.random.RandomState(0).rand(1, in_ch, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        y = torch.relu(tbn1(tconv1(torch.from_numpy(x))))
+        y = torch.relu(tbn2(tconv2(y)))
+        y = tbn3(tconv3(y))
+        sc = tdbn(tdown(torch.from_numpy(x)))
+        ref = torch.relu(y + sc).numpy()
+
+    def cw(m):  # torch OIHW -> flax HWIO
+        return jnp.asarray(m.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    def bnp(bn):
+        return (jnp.asarray(bn.weight.detach().numpy()),
+                jnp.asarray(bn.bias.detach().numpy()),
+                jnp.asarray(bn.running_mean.numpy()),
+                jnp.asarray(bn.running_var.numpy()))
+
+    blk = ResNeXtBottleneck(planes, stride=2, downsample=True)
+    variables = blk.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, 16, in_ch)))
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    for name, conv, bn in (("1", tconv1, tbn1), ("2", tconv2, tbn2),
+                           ("3", tconv3, tbn3)):
+        p[f"conv{name}"]["kernel"] = cw(conv)
+        s_, b_, m_, v_ = bnp(bn)
+        p[f"bn{name}"]["scale"], p[f"bn{name}"]["bias"] = s_, b_
+        bs[f"bn{name}"]["mean"], bs[f"bn{name}"]["var"] = m_, v_
+    p["downsample_conv"]["kernel"] = cw(tdown)
+    s_, b_, m_, v_ = bnp(tdbn)
+    p["downsample_bn"]["scale"], p["downsample_bn"]["bias"] = s_, b_
+    bs["downsample_bn"]["mean"], bs["downsample_bn"]["var"] = m_, v_
+
+    got = blk.apply({"params": p, "batch_stats": bs},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_midas_converter_roundtrip():
+    """_midas_mapping covers the full checkpoint layout: synthesize a torch
+    state dict from flax init, convert back, get identical trees (and a
+    working forward)."""
+    from omnidata_tpu.models.convert import (
+        _midas_mapping, convert_midas, synthesize_torch_state_dict,
+    )
+    from omnidata_tpu.models.midas_full import MidasNet
+
+    model = MidasNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = synthesize_torch_state_dict(list(_midas_mapping()), variables)
+    # plausible checkpoint keys present
+    assert "pretrained.layer1.0.weight" in sd
+    assert "pretrained.layer4.2.conv2.weight" in sd
+    assert "scratch.refinenet1.resConfUnit1.conv1.weight" in sd
+    back = convert_midas(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(
+        jax.tree.map(jnp.asarray, back))
+    keys_a = {jax.tree_util.keystr(p) for p, _ in flat_a}
+    keys_b = {jax.tree_util.keystr(p) for p, _ in flat_b}
+    assert keys_a == keys_b, keys_a ^ keys_b
+    b_of = {jax.tree_util.keystr(p): v for p, v in flat_b}
+    for pth, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(b_of[jax.tree_util.keystr(pth)]),
+            atol=1e-6, err_msg=jax.tree_util.keystr(pth))
+    y = model.apply(back, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 64, 64)
+
+
+def test_midas_transforms():
+    from omnidata_tpu.models.midas_transforms import midas_transform_v21
+
+    tr = midas_transform_v21()
+    img = np.random.RandomState(0).rand(480, 640, 3).astype(np.float32)
+    out = tr({"image": img})["image"]
+    assert out.shape[0] == 3
+    # upper_bound keep-aspect at 384: short side -> 288 (multiple of 32)
+    assert out.shape[1] == 288 and out.shape[2] == 384
+    assert out.min() < 0  # imagenet-normalized
