@@ -232,32 +232,64 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     infos = stripe(infos)
 
     mods = tuple(t for t in tasks if t in DEVICE_TASKS)
-    n_imgs = sum(len(v) for v in infos)
+    flat_views = [v for views in infos for v in views]
+    n_imgs = len(flat_views)
+    kw = dict(tile=settings.RASTER_TILE, cap=settings.RASTER_CAP,
+              chunk=settings.RASTER_CHUNK, modalities=mods)
+
+    def write_outputs(view, out, vi=None):
+        for t in mods:
+            arr = np.asarray(out[t] if vi is None else out[t][vi])
+            if t == "fragments":
+                path = file_name_for(
+                    os.path.join(model_path, t), view["point_uuid"],
+                    view["view_id"], t, "npy",
+                )
+                np.save(path, arr)
+            else:
+                path = file_name_for(
+                    os.path.join(model_path, t), view["point_uuid"],
+                    view["view_id"], t, settings.PREFERRED_IMG_EXT,
+                )
+                save_png(path, arr)
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     i = 0
     with Profiler("Render") as pflr:
-        for views in infos:
-            for view in views:
-                cam = camera_from_view_dict(view, resolution=settings.RESOLUTION)
-                out = annotate_view(
-                    cam, mesh, curv,
-                    tile=settings.RASTER_TILE,
-                    cap=settings.RASTER_CAP,
-                    chunk=settings.RASTER_CHUNK,
-                    modalities=mods,
+        if on_tpu:
+            # cross-view batching: K cameras per fused dispatch (the
+            # throughput path of bench.py; ~5 ms/view at K=64 on v5e)
+            from ..core.cameras import Camera
+            from .pipeline import annotate_views
+
+            K = int(getattr(settings, "VIEWS_PER_DISPATCH", 64))
+            for s in range(0, n_imgs, K):
+                chunk_views = flat_views[s : s + K]
+                cams = [
+                    camera_from_view_dict(v, resolution=settings.RESOLUTION)
+                    for v in chunk_views
+                ]
+                pad = len(cams)
+                while len(cams) < K and n_imgs > K:
+                    cams.append(cams[-1])  # pad partial tail batch
+                batch = Camera(
+                    jnp.stack([c.location for c in cams]),
+                    jnp.stack([c.R for c in cams]),
+                    jnp.stack([c.fov for c in cams]),
+                    settings.RESOLUTION,
                 )
-                for t in mods:
-                    if t == "fragments":
-                        path = file_name_for(
-                            os.path.join(model_path, t), view["point_uuid"],
-                            view["view_id"], t, "npy",
-                        )
-                        np.save(path, np.asarray(out[t]))
-                    else:
-                        path = file_name_for(
-                            os.path.join(model_path, t), view["point_uuid"],
-                            view["view_id"], t, settings.PREFERRED_IMG_EXT,
-                        )
-                        save_png(path, np.asarray(out[t]))
+                out = annotate_views(batch, mesh, curv, **kw)
+                for vi, view in enumerate(chunk_views):
+                    write_outputs(view, out, vi)
+                    i += 1
+                    pflr.step(f"finished img {i}/{n_imgs}")
+        else:
+            for view in flat_views:
+                cam = camera_from_view_dict(view, resolution=settings.RESOLUTION)
+                out = annotate_view(cam, mesh, curv, **kw)
+                write_outputs(view, out)
                 i += 1
                 pflr.step(f"finished img {i}/{n_imgs}")
 

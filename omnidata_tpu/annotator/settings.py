@@ -76,6 +76,7 @@ class Settings:
     RASTER_TILE: int = 64
     RASTER_CAP: int = 4096
     RASTER_CHUNK: int = 128
+    VIEWS_PER_DISPATCH: int = 64  # cameras per fused TPU dispatch
 
 
 def _coerce(value: str):
