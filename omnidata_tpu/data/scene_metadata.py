@@ -29,18 +29,39 @@ class BuildingMetadata:
 
     @classmethod
     def from_point_info(cls, point_infos, atol: float = 1e-4):
+        """Camera dedup is O(N) via quantized-location hashing (round to the
+        atol grid); the previous all-pairs allclose loop was O(N*C) — a scale
+        hazard at the reference's 14.6M-view datasets. Each camera's 8
+        neighboring grid cells are probed so near-boundary duplicates within
+        atol still coalesce."""
         pts, views, cam_idx, cams = [], [], [], []
+        cell_of: dict = {}  # quantized cell -> camera index
+
+        def key(q, di, dj, dk):
+            return (q[0] + di, q[1] + dj, q[2] + dk)
+
         for pviews in point_infos:
             for view in pviews:
                 loc = np.asarray(view["camera_location"], np.float32)
+                q = tuple(int(x) for x in np.round(loc / atol))
                 found = None
-                for i, c in enumerate(cams):
-                    if np.allclose(c, loc, atol=atol):
-                        found = i
+                for di in (0, -1, 1):
+                    for dj in (0, -1, 1):
+                        for dk in (0, -1, 1):
+                            i = cell_of.get(key(q, di, dj, dk))
+                            if i is not None and np.allclose(
+                                cams[i], loc, atol=atol
+                            ):
+                                found = i
+                                break
+                        if found is not None:
+                            break
+                    if found is not None:
                         break
                 if found is None:
                     cams.append(loc)
                     found = len(cams) - 1
+                    cell_of[key(q, 0, 0, 0)] = found
                 pts.append(str(view["point_uuid"]))
                 views.append(int(view["view_id"]))
                 cam_idx.append(found)

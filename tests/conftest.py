@@ -33,6 +33,18 @@ except Exception:
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
+# Persistent XLA compilation cache: the suite's cost is dominated by CPU
+# compiles of the DPT/UNet train+eval programs; repeat runs hit the cache
+# and drop from ~13 min to ~3 min.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", "tmp", "xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 REFERENCE = pathlib.Path("/root/reference")
 
 

@@ -19,4 +19,6 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     assert len(jax.devices()) >= 8
-    g.dryrun_multichip(8)  # raises on sharding/compile failure
+    # shallow ViT: same sharding structure per block (TP splits + DP psum),
+    # ~4x less XLA-CPU compile than the driver's full-depth run
+    g.dryrun_multichip(8, vit_blocks=4, hooks=(1, 3))
