@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--tta", action="store_true",
+                   help="flip TTA with median merge (oasis_eval_tta.py)")
     args = p.parse_args(argv)
 
     if args.oasis_csv or args.nyu_root:
@@ -46,8 +48,13 @@ def main(argv=None):
             ds = OASISNormalDatasetVal(args.oasis_csv, root=args.oasis_root)
         else:
             ds = NYUNormalDataset(args.nyu_root)
+        model_fn = make_oasis_model_fn(bundle.apply, bundle.variables)
+        if args.tta:
+            from omnidata_tpu.models.tta import SurfaceNormalsTTA
+
+            model_fn = SurfaceNormalsTTA(model_fn)
         result = evaluate_normals(
-            make_oasis_model_fn(bundle.apply, bundle.variables), ds,
+            model_fn, ds,
             max_items=args.max_batches * args.batch_size or None,
             fixed_input_size=(args.image_size, args.image_size),
         )

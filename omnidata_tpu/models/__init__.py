@@ -23,3 +23,4 @@ from .attention_blocks import ECA, ChannelAttention, CBAM
 from .midas_net import MidasNetSmall
 from .midas_full import MidasNet, MidasNetSmallTF, ResNeXt101Backbone, EfficientNetLite3Backbone
 from .midas_transforms import midas_transform_v21, midas_transform_v21_small
+from .tta import SurfaceNormalsTTA

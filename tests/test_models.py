@@ -382,3 +382,46 @@ def test_midas_transforms():
     # upper_bound keep-aspect at 384: short side -> 288 (multiple of 32)
     assert out.shape[1] == 288 and out.shape[2] == 384
     assert out.min() < 0  # imagenet-normalized
+
+
+def test_surface_normals_tta_inverts_flip_exactly():
+    """A mirror-equivariant oracle model must pass through TTA unchanged:
+    the wrapper's un-flip + x-negation reconstructs the same field from the
+    flipped forward, so the median equals the clean prediction."""
+    from omnidata_tpu.models import SurfaceNormalsTTA
+
+    H = W = 16
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    N = np.stack([
+        (xx - W / 2) / W, (yy - H / 2) / H, np.ones_like(xx),
+    ])
+    N = N / np.linalg.norm(N, axis=0, keepdims=True)
+
+    base = np.random.RandomState(0).rand(1, 3, H, W).astype(np.float32)
+
+    def oracle(x):
+        # detects whether it got the flipped input; returns the correctly
+        # mirrored normal field for it (what a perfect predictor does)
+        flipped = not np.allclose(np.asarray(x), base)
+        out = N.copy()
+        if flipped:
+            out = out[:, :, ::-1].copy()
+            out[0] *= -1
+        return jnp.asarray(out[None])
+
+    tta = SurfaceNormalsTTA(oracle, hflip=True)
+    got = np.asarray(tta(jnp.asarray(base)))[0]
+    np.testing.assert_allclose(got, N, atol=1e-5)
+
+    # scale TTA keeps shapes and unit norm
+    tta2 = SurfaceNormalsTTA(
+        lambda x: jnp.asarray(
+            np.broadcast_to(N[None], (1, 3, x.shape[2], x.shape[3]))
+            if x.shape[2] == H else
+            np.broadcast_to(N[:, :1, :1][None], (1, 3, x.shape[2], x.shape[3]))
+        ),
+        hflip=False, scales=(0.5,),
+    )
+    out = np.asarray(tta2(jnp.asarray(base)))
+    assert out.shape == (1, 3, H, W)
+    np.testing.assert_allclose(np.linalg.norm(out[0], axis=0), 1.0, atol=1e-5)
