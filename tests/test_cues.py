@@ -292,3 +292,25 @@ def test_keypoints2d_detects_blob_centers_and_scales():
     bg = np.median(resp)
     for (cy, cx, s) in blobs:
         assert resp[cy, cx] > bg + 0.1 * resp.max()
+
+
+def test_felzenszwalb_native_matches_python():
+    """The C++ Kruskal core must be bit-identical to the Python reference
+    loop (same stable tie order), including quantized inputs with many
+    equal-cost edges."""
+    from omnidata_tpu.cues.segmentation import felzenszwalb
+
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.rand(48, 53, 5),
+        (rng.rand(40, 41) * 4).astype(np.uint8),
+    ]
+    for img in cases:
+        a = felzenszwalb(img, scale=50.0, sigma=0.5, min_size=20,
+                         backend="python")
+        try:
+            b = felzenszwalb(img, scale=50.0, sigma=0.5, min_size=20,
+                             backend="native")
+        except Exception:
+            pytest.skip("no native toolchain")
+        np.testing.assert_array_equal(a, b)
