@@ -237,6 +237,14 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     kw = dict(tile=settings.RASTER_TILE, cap=settings.RASTER_CAP,
               chunk=settings.RASTER_CHUNK, modalities=mods)
 
+    # PNG encode/write dominates steady-state wall time (device render is
+    # ~5 ms/view batched); overlap it with the next dispatch on a small
+    # thread pool (the reference's Pool-over-views, as IO concurrency only)
+    from concurrent.futures import ThreadPoolExecutor
+
+    io_pool = ThreadPoolExecutor(max_workers=8)
+    pending: list = []
+
     def write_outputs(view, out, vi=None):
         for t in mods:
             arr = np.asarray(out[t] if vi is None else out[t][vi])
@@ -245,13 +253,13 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
                     os.path.join(model_path, t), view["point_uuid"],
                     view["view_id"], t, "npy",
                 )
-                np.save(path, arr)
+                pending.append(io_pool.submit(np.save, path, arr))
             else:
                 path = file_name_for(
                     os.path.join(model_path, t), view["point_uuid"],
                     view["view_id"], t, settings.PREFERRED_IMG_EXT,
                 )
-                save_png(path, arr)
+                pending.append(io_pool.submit(save_png, path, arr))
 
     import jax
 
@@ -292,6 +300,9 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
                 write_outputs(view, out)
                 i += 1
                 pflr.step(f"finished img {i}/{n_imgs}")
+        for f in pending:
+            f.result()  # surface any write error
+        io_pool.shutdown()
 
 
 def run_pano(model_path: str, settings) -> None:
