@@ -120,7 +120,7 @@ def _convert(mapping, state_dict: dict) -> dict:
         return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
     for flax_path, tkey, kind in mapping:
-        if kind == "conv_drop":
+        if kind == "conv_drop" or (isinstance(kind, tuple) and kind[0] == "conv_drop"):
             take(f"{tkey}.weight")
             if f"{tkey}.bias" in state_dict:
                 take(f"{tkey}.bias")
@@ -204,11 +204,11 @@ def synthesize_torch_state_dict(mapping, flax_params: dict) -> dict:
         }
     sd = {}
     for flax_path, tkey, kind in mapping:
-        if kind == "conv_drop":
-            # params unused by our forward; synthesize zeros (fusion width)
-            feat = 256
-            sd[f"{tkey}.weight"] = np.zeros((feat, feat, 3, 3), np.float32)
-            sd[f"{tkey}.bias"] = np.zeros((feat,), np.float32)
+        if kind == "conv_drop" or (isinstance(kind, tuple) and kind[0] == "conv_drop"):
+            # params unused by our forward; synthesize zeros
+            shape = kind[1] if isinstance(kind, tuple) else (256, 256, 3, 3)
+            sd[f"{tkey}.weight"] = np.zeros(shape, np.float32)
+            sd[f"{tkey}.bias"] = np.zeros((shape[0],), np.float32)
         elif kind in ("conv", "conv_nobias"):
             sd[f"{tkey}.weight"] = flat[f"{flax_path}/kernel"].transpose(3, 2, 0, 1)
             if f"{flax_path}/bias" in flat:
@@ -272,3 +272,69 @@ def _midas_mapping(layers=(3, 4, 23, 3)) -> Iterator[tuple]:
 def convert_midas(state_dict: dict) -> dict:
     """MiDaS v2.1 (midas_v21-f6b98070.pt style) -> MidasNet Flax variables."""
     return _convert(_midas_mapping(), strip_prefix(state_dict))
+
+
+# tf_efficientnet_lite3 stage repeats (lite: first/last not depth-scaled)
+_LITE3_REPEATS = (1, 3, 3, 5, 5, 6, 1)
+
+# stage index -> torch Sequential prefix inside _make_efficientnet_backbone
+# (blocks.py:88-98: layer1 = Sequential(conv_stem, bn1, act1, blocks[0],
+# blocks[1]) so stages 0/1 sit at indices 3/4; later layers wrap the stage
+# Sequentials directly)
+_LITE3_STAGE_PREFIX = {
+    0: "pretrained.layer1.3",
+    1: "pretrained.layer1.4",
+    2: "pretrained.layer2.0",
+    3: "pretrained.layer3.0",
+    4: "pretrained.layer3.1",
+    5: "pretrained.layer4.0",
+    6: "pretrained.layer4.1",
+}
+
+
+def _midas_small_mapping() -> Iterator[tuple]:
+    """MiDaS v2.1 small (midas_net_custom.py MidasNet_small,
+    tf_efficientnet_lite3 via geffnet). Stage-0 blocks are geffnet
+    DepthwiseSeparableConv (conv_dw/bn1/conv_pw/bn2 — the project conv is
+    named conv_pw there); the rest are InvertedResidual
+    (conv_pw/bn1/conv_dw/bn2/conv_pwl/bn3)."""
+    yield "pretrained/conv_stem", "pretrained.layer1.0", "conv_nobias"
+    yield "pretrained/bn1", "pretrained.layer1.1", "bn"
+    for si, reps in enumerate(_LITE3_REPEATS):
+        for bi in range(reps):
+            fb = f"pretrained/blocks_{si}_{bi}"
+            tb = f"{_LITE3_STAGE_PREFIX[si]}.{bi}"
+            if si == 0:  # DepthwiseSeparableConv
+                yield f"{fb}/conv_dw", f"{tb}.conv_dw", "conv_nobias"
+                yield f"{fb}/bn2", f"{tb}.bn1", "bn"
+                yield f"{fb}/conv_pwl", f"{tb}.conv_pw", "conv_nobias"
+                yield f"{fb}/bn3", f"{tb}.bn2", "bn"
+            else:
+                yield f"{fb}/conv_pw", f"{tb}.conv_pw", "conv_nobias"
+                yield f"{fb}/bn1", f"{tb}.bn1", "bn"
+                yield f"{fb}/conv_dw", f"{tb}.conv_dw", "conv_nobias"
+                yield f"{fb}/bn2", f"{tb}.bn2", "bn"
+                yield f"{fb}/conv_pwl", f"{tb}.conv_pwl", "conv_nobias"
+                yield f"{fb}/bn3", f"{tb}.bn3", "bn"
+    feats = {1: 64, 2: 128, 3: 256, 4: 512}
+    for i in (1, 2, 3, 4):
+        yield f"layer{i}_rn", f"scratch.layer{i}_rn", "conv_nobias"
+        for u in (1, 2):
+            for c in (1, 2):
+                if i == 4 and u == 1:
+                    f4 = feats[4]
+                    yield (None, f"scratch.refinenet4.resConfUnit1.conv{c}",
+                           ("conv_drop", (f4, f4, 3, 3)))
+                else:
+                    yield (f"refinenet{i}/resConfUnit{u}_conv{c}",
+                           f"scratch.refinenet{i}.resConfUnit{u}.conv{c}",
+                           "conv")
+        yield f"refinenet{i}/out_conv", f"scratch.refinenet{i}.out_conv", "conv"
+    yield "output_conv1", "scratch.output_conv.0", "conv"
+    yield "output_conv2", "scratch.output_conv.2", "conv"
+    yield "output_conv3", "scratch.output_conv.4", "conv"
+
+
+def convert_midas_small(state_dict: dict) -> dict:
+    """midas_v21_small torch checkpoint -> MidasNetSmallTF Flax variables."""
+    return _convert(_midas_small_mapping(), strip_prefix(state_dict))

@@ -142,12 +142,15 @@ def midas_v21_small(checkpoint: str | None = None, image_size: int = 256) -> Mod
     from .midas_full import MidasNetSmallTF
 
     module = MidasNetSmallTF()
-    variables = module.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
-    )
     if checkpoint:
-        raise NotImplementedError(
-            "midas_v21_small checkpoint conversion not implemented"
+        from .convert import convert_midas_small
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_midas_small(_load_torch(checkpoint))
+        )
+    else:
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
         )
 
     @jax.jit

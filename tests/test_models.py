@@ -425,3 +425,30 @@ def test_surface_normals_tta_inverts_flip_exactly():
     out = np.asarray(tta2(jnp.asarray(base)))
     assert out.shape == (1, 3, H, W)
     np.testing.assert_allclose(np.linalg.norm(out[0], axis=0), 1.0, atol=1e-5)
+
+
+def test_midas_small_converter_roundtrip():
+    from omnidata_tpu.models.convert import (
+        _midas_small_mapping, convert_midas_small, synthesize_torch_state_dict,
+    )
+    from omnidata_tpu.models.midas_full import MidasNetSmallTF
+
+    model = MidasNetSmallTF()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    sd = synthesize_torch_state_dict(list(_midas_small_mapping()), variables)
+    # geffnet-layout keys present
+    assert "pretrained.layer1.0.weight" in sd           # conv_stem
+    assert "pretrained.layer1.3.0.conv_dw.weight" in sd  # stage0 DS conv
+    assert "pretrained.layer4.1.0.conv_pwl.weight" in sd
+    assert "scratch.refinenet3.out_conv.weight" in sd
+    back = convert_midas_small(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    b_of = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(b_of)
+    for pth, v in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(b_of[jax.tree_util.keystr(pth)]),
+            atol=1e-6, err_msg=jax.tree_util.keystr(pth))
+    y = model.apply(back, jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 64, 64)
