@@ -1,0 +1,101 @@
+"""Threaded prefetching batch loader — the role of the reference's
+`DataLoader(num_workers=16)` worker pool (train_normal.py dataloaders;
+SURVEY.md §7 "dataloading at 1000 views/sec" hard part).
+
+PNG/HDF5 decode is IO- and zlib-bound (both release the GIL), so a thread
+pool overlaps decode of future batches with device compute on the current
+one. Batches come out in a deterministic order for a fixed seed/epoch.
+
+    loader = PrefetchLoader(dataset, batch_size=16, num_workers=8)
+    for batch in loader.epoch(seed=0):   # dict of stacked numpy arrays
+        ...
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def _stack(items: list) -> dict:
+    batch = {}
+    for k in items[0]:
+        v0 = items[0][k]
+        if isinstance(v0, np.ndarray):
+            batch[k] = np.stack([it[k] for it in items])
+        else:
+            batch[k] = [it[k] for it in items]
+    return batch
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, num_workers: int = 8,
+                 prefetch_batches: int = 2, drop_last: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch_batches)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds) // self.batch_size
+        if not self.drop_last and len(self.ds) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, seed: int | None = None, shuffle: bool = True):
+        order = np.arange(len(self.ds))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        stops = range(0, len(order) if not self.drop_last else
+                      len(order) - self.batch_size + 1, self.batch_size)
+        batches = [order[s : s + self.batch_size] for s in stops]
+        if not batches:
+            return
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # keep `prefetch` batches in flight; within a batch, items
+                # decode concurrently
+                futures = []
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    futures.append(
+                        [pool.submit(self.ds.__getitem__, int(i)) for i in idxs]
+                    )
+                    while len(futures) > self.prefetch or (
+                        futures and idxs is batches[-1]
+                    ):
+                        fs = futures.pop(0)
+                        try:
+                            items = [f.result() for f in fs]
+                            out_q.put(_stack(items))
+                        except Exception as e:  # surface in the consumer
+                            out_q.put(e)
+                            return
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)

@@ -518,3 +518,38 @@ def test_dataset_attaches_pose_and_multiview_stacks(nonsquare_root):
                 random_flip=False)
     )[0]
     assert single["cam_to_world_T"].shape == (3,)
+
+
+def test_prefetch_loader_matches_sequential():
+    """PrefetchLoader yields the same batches as sequential assembly for a
+    fixed seed, in order, and overlapped decode doesn't lose/duplicate."""
+    from omnidata_tpu.data.loader import PrefetchLoader
+
+    class Toy:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.float32), "name": str(i)}
+
+    ds = Toy()
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=4, drop_last=True)
+    got = list(loader.epoch(seed=7))
+    assert len(got) == len(loader) == 5
+    order = np.arange(23)
+    np.random.RandomState(7).shuffle(order)
+    for bi, b in enumerate(got):
+        want = order[bi * 4 : bi * 4 + 4]
+        np.testing.assert_array_equal(b["x"][:, 0, 0], want.astype(np.float32))
+        assert b["name"] == [str(i) for i in want]
+
+    # errors surface to the consumer
+    class Bad(Toy):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("boom")
+            return super().__getitem__(i)
+
+    loader = PrefetchLoader(Bad(), batch_size=4, num_workers=2)
+    with pytest.raises(ValueError):
+        list(loader.epoch(seed=0))
