@@ -95,7 +95,7 @@ def main():
     cap = 1024
     chunk = 128 if on_tpu else 64
     K = 64 if on_tpu else 2          # views per batched dispatch
-    n_batches = 4 if on_tpu else 1
+    n_batches = 8 if on_tpu else 1  # ~2.6 s timed region amortizes tunnel jitter
     n_views = K * n_batches
 
     mesh, curv = build_scene()

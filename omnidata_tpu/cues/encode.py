@@ -86,10 +86,9 @@ def save_png(path: str, arr: np.ndarray) -> None:
     from PIL import Image
 
     arr = np.asarray(arr)
-    if arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
-    else:
-        Image.fromarray(arr).save(path)
+    # Pillow >= 10 infers I;16 from uint16 arrays; the explicit mode= arg is
+    # deprecated (removal in Pillow 13)
+    Image.fromarray(arr).save(path)
 
 
 def load_png(path: str) -> np.ndarray:

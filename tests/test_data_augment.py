@@ -37,7 +37,7 @@ def test_transform_16bit(tmp_path):
 
     arr = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1000)
     p = str(tmp_path / "d.png")
-    Image.fromarray(arr, mode="I;16").save(p)
+    Image.fromarray(arr).save(p)
     img = default_loader(p)
     out = get_transform("depth_euclidean")(img)
     assert out.shape == (1, 8, 8)
@@ -86,7 +86,7 @@ def fake_dataset_root(tmp_path):
             for v in range(3):
                 if task == "depth_zbuffer":
                     arr = rng.randint(0, 65535, (16, 16)).astype(np.uint16)
-                    img = Image.fromarray(arr, mode="I;16")
+                    img = Image.fromarray(arr)
                 else:
                     img = Image.fromarray(
                         rng.randint(0, 255, (16, 16, 3), np.uint8)
