@@ -49,7 +49,12 @@ def build_scene(seed: int = 0, n_spheres: int = 4, n_boxes: int = 5):
         off += p.vertices.shape[0]
     v = np.concatenate(vs)
     f = np.concatenate(fs)
+    # split the room's giant wall/floor faces: big faces overlap every tile
+    # and poison chunk-granular binning (mesh.split_long_edges)
+    from omnidata_tpu.mesh import split_long_edges
+
     colors = rng.rand(v.shape[0], 3).astype(np.float32) * 0.6 + 0.2
+    v, f, colors, _, _, _ = split_long_edges(v, f, 0.8, vertex_colors=colors)
     mesh = from_arrays(v, f, vertex_colors=colors)
     curv = bake_curvature_colors(mesh, rings=1)
     return mesh, curv
@@ -91,11 +96,12 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     res = 512
-    tile = 64
+    tile = 32 if on_tpu else 64   # smaller tiles: fewer candidates/pixel-lane
     cap = 1024
     chunk = 128 if on_tpu else 64
-    K = 64 if on_tpu else 2          # views per batched dispatch
-    n_batches = 8 if on_tpu else 1  # ~2.6 s timed region amortizes tunnel jitter
+    K = 16 if on_tpu else 2          # views per batched dispatch (SMEM-bound:
+    # K * tiles * CHUNK_LIST_CAP ids must fit the 1MB scalar memory)
+    n_batches = 32 if on_tpu else 1  # ~3 s timed region amortizes tunnel jitter
     n_views = K * n_batches
 
     mesh, curv = build_scene()

@@ -79,7 +79,13 @@ def find_mesh(model_path: str, settings=None):
     for name in names:
         p = os.path.join(model_path, name)
         if os.path.exists(p):
-            return load_any(p)
+            mesh = load_any(p)
+            max_edge = getattr(settings, "MAX_FACE_EDGE_METERS", 0) if settings else 0
+            if max_edge:
+                from ..mesh import subdivide_mesh
+
+                mesh = subdivide_mesh(mesh, float(max_edge))
+            return mesh
     raise FileNotFoundError(f"no mesh.ply/mesh.obj under {model_path}")
 
 

@@ -73,10 +73,12 @@ class Settings:
     RANDOM_SEED: int = 42
     MAX_CONCURRENT_PROCESSES: int = 1
     # renderer knobs (TPU): tile size / per-tile triangle cap / scan chunk
-    RASTER_TILE: int = 64
+    RASTER_TILE: int = 32
     RASTER_CAP: int = 4096
     RASTER_CHUNK: int = 128
-    VIEWS_PER_DISPATCH: int = 64  # cameras per fused TPU dispatch
+    MAX_FACE_EDGE_METERS: float = 1.0  # split longer edges at load (0 = off);
+    # no-op for real scans, kills pathological big faces (walls as 2 tris)
+    VIEWS_PER_DISPATCH: int = 16  # cameras per fused TPU dispatch
 
 
 def _coerce(value: str):

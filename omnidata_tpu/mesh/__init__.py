@@ -1,4 +1,6 @@
 from .mesh import (
+    split_long_edges,
+    subdivide_mesh,
     load_obj_mtl,
     parse_mtl,
     TriangleMesh,

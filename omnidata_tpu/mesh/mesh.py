@@ -61,6 +61,31 @@ def compute_normals(vertices: np.ndarray, faces: np.ndarray):
     return vn.astype(np.float32), fn_unit.astype(np.float32)
 
 
+def _morton_order(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Sort faces along a 3D Morton curve of their centroids (1024^3 grid).
+
+    Spatially-coherent face order makes fixed-size face chunks spatially
+    tight, which is what the no-binning rasterizer's chunk-granular bbox
+    skipping relies on (pallas_raster.py): a chunk's 128 faces then project
+    to a compact screen region instead of a whole object's silhouette."""
+    c = vertices[faces].mean(1)
+    lo = c.min(0)
+    span = np.maximum(c.max(0) - lo, 1e-9)
+    q = np.minimum((1023 * (c - lo) / span).astype(np.uint64), 1023)
+
+    def spread(v):  # interleave 10 bits with 2-bit gaps
+        v = (v | (v << 16)) & np.uint64(0x30000FF)
+        v = (v | (v << 8)) & np.uint64(0x300F00F)
+        v = (v | (v << 4)) & np.uint64(0x30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x9249249)
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable")
+
+
 def from_arrays(
     vertices: np.ndarray,
     faces: np.ndarray,
@@ -70,10 +95,21 @@ def from_arrays(
     texture: np.ndarray | None = None,
     pad_multiple: int = 256,
     face_colors: np.ndarray | None = None,
+    spatial_order: bool = True,
 ) -> TriangleMesh:
-    """Build a padded device mesh from host arrays."""
+    """Build a padded device mesh from host arrays.
+
+    spatial_order: reorder faces along a Morton curve of their centroids
+    (face ids are arbitrary; per-face labels/colors reorder consistently)."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int32)
+    if spatial_order and len(faces):
+        order = _morton_order(vertices, faces)
+        faces = faces[order]
+        if face_labels is not None:
+            face_labels = np.asarray(face_labels)[order]
+        if face_colors is not None:
+            face_colors = np.asarray(face_colors)[order]
     nf = faces.shape[0]
     vn, fn = compute_normals(vertices, faces)
 
@@ -503,3 +539,92 @@ def load_obj_mtl(path: str, pad_multiple: int = 256, label_map=None):
         pad_multiple=pad_multiple,
     )
     return mesh, mat_order
+
+
+def split_long_edges(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    max_edge: float,
+    vertex_colors: np.ndarray | None = None,
+    vertex_uvs: np.ndarray | None = None,
+    face_labels: np.ndarray | None = None,
+    face_colors: np.ndarray | None = None,
+):
+    """Host-side longest-edge midpoint subdivision until every edge is
+    <= max_edge. Big faces (room walls, floors) otherwise poison tile
+    binning: their screen bboxes overlap every tile, so each one drags its
+    whole 128-face chunk into every tile's candidate list
+    (pallas_raster.py chunk lists). Scan meshes are already finely
+    tessellated — this is a no-op for them. Midpoint vertices interpolate
+    colors/uvs; children inherit face labels/colors."""
+    verts = [v for v in np.asarray(vertices, np.float32)]
+    vcol = None if vertex_colors is None else [c for c in np.asarray(vertex_colors, np.float32)]
+    vuv = None if vertex_uvs is None else [u for u in np.asarray(vertex_uvs, np.float32)]
+    mid_cache: dict = {}
+
+    def midpoint(a: int, b: int) -> int:
+        key = (a, b) if a < b else (b, a)
+        m = mid_cache.get(key)
+        if m is None:
+            verts.append((verts[a] + verts[b]) * 0.5)
+            if vcol is not None:
+                vcol.append((vcol[a] + vcol[b]) * 0.5)
+            if vuv is not None:
+                vuv.append((vuv[a] + vuv[b]) * 0.5)
+            m = len(verts) - 1
+            mid_cache[key] = m
+        return m
+
+    out_faces, out_fl, out_fc = [], [], []
+    stack = [
+        (tuple(int(x) for x in f),
+         None if face_labels is None else face_labels[i],
+         None if face_colors is None else face_colors[i])
+        for i, f in enumerate(np.asarray(faces))
+    ]
+    stack.reverse()
+    while stack:
+        (a, b, c), fl, fc = stack.pop()
+        e = [
+            (np.linalg.norm(verts[b] - verts[c]), a, b, c),
+            (np.linalg.norm(verts[c] - verts[a]), b, c, a),
+            (np.linalg.norm(verts[a] - verts[b]), c, a, b),
+        ]
+        L, opp, p, q = max(e)
+        if L <= max_edge:
+            out_faces.append((a, b, c))
+            out_fl.append(fl)
+            out_fc.append(fc)
+            continue
+        m = midpoint(p, q)
+        stack.append(((opp, p, m), fl, fc))
+        stack.append(((opp, m, q), fl, fc))
+
+    return (
+        np.stack(verts),
+        np.asarray(out_faces, np.int32),
+        None if vcol is None else np.stack(vcol),
+        None if vuv is None else np.stack(vuv),
+        None if face_labels is None else np.asarray(out_fl),
+        None if face_colors is None else np.stack(out_fc),
+    )
+
+
+def subdivide_mesh(mesh: TriangleMesh, max_edge: float) -> TriangleMesh:
+    """Rebuild a TriangleMesh with all edges <= max_edge (see
+    split_long_edges). Texture is carried through."""
+    nf = mesh.num_faces
+    v, f, vc, vu, fl, fc = split_long_edges(
+        np.asarray(mesh.vertices),
+        np.asarray(mesh.faces[:nf]),
+        max_edge,
+        None if mesh.vertex_colors is None else np.asarray(mesh.vertex_colors),
+        None if mesh.vertex_uvs is None else np.asarray(mesh.vertex_uvs),
+        None if mesh.face_labels is None else np.asarray(mesh.face_labels[:nf]),
+        None if mesh.face_colors is None else np.asarray(mesh.face_colors[:nf]),
+    )
+    return from_arrays(
+        v, f, vertex_colors=vc, face_labels=fl, vertex_uvs=vu,
+        texture=None if mesh.texture is None else np.asarray(mesh.texture),
+        face_colors=fc,
+    )

@@ -66,21 +66,18 @@ def _project_all(K, RT, pts):
     return uv, zc
 
 
-def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
-    """Per-tile triangle lists (T, cap) + per-tile candidate counts (T,).
+def face_screen_bboxes(camera: Camera, mesh: TriangleMesh):
+    """Conservative per-face screen bboxes (lo, hi (F,2)) + live mask (F,).
 
-    Near-plane-aware: camera rays all have positive CV-frame z, so triangles
-    entirely behind z=near can never be hit and are culled outright;
-    triangles straddling the plane get a screen bbox over their in-front
+    Near-plane-aware: triangles entirely behind z=near can never be hit and
+    are dead; triangles straddling the plane get a bbox over their in-front
     vertices plus the two edge/near-plane crossings (exact conservative
-    bound — without this, interior views bin ~half the mesh to every tile)."""
+    bound — without this, interior views bin ~half the mesh to every tile).
+    Dead faces carry lo=+BIG / hi=-BIG so any overlap test fails."""
     res = camera.resolution
-    n_tiles_1d = res // tile
-    T = n_tiles_1d * n_tiles_1d
     K = intrinsic_matrix(camera.fov, res)
     RT = extrinsic_RT(camera.location, camera.R)
 
-    # camera-space positions for clipping; screen uv for in-front vertices
     ones = jnp.ones((mesh.vertices.shape[0], 1), mesh.vertices.dtype)
     cam = jnp.einsum(
         "ij,nj->ni", RT, jnp.concatenate([mesh.vertices, ones], -1),
@@ -123,34 +120,41 @@ def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     # screen-frustum reject: bbox entirely off screen
     on_screen = (hi[:, 0] >= 0) & (lo[:, 0] <= res) & (hi[:, 1] >= 0) & (lo[:, 1] <= res)
     live = live & on_screen
+    lo = jnp.where(live[:, None], lo, BIGF)
+    hi = jnp.where(live[:, None], hi, -BIGF)
+    return lo, hi, live
 
-    # --- two-stage per-tile lists (sorts dominate binning cost) -----------
-    # Stage 1: compact the visible faces with ONE top_k over F; Stage 2:
-    # per-tile top_k over the compacted set (T x act_cap instead of T x F —
-    # an order of magnitude less sort work for interior views).
-    iota = jnp.arange(F, dtype=jnp.int32)
-    act_cap = min(max(4 * cap, 4096), F)
-    act_keys = jnp.where(live, 2 * F - iota, -iota)
-    av, act_idx = jax.lax.top_k(act_keys, act_cap)  # (act_cap,)
-    act_idx = jnp.where(av > F, act_idx, F - 1).astype(jnp.int32)
 
-    lo_a = lo[act_idx]  # (A,2); degenerate slots carry +BIGF bbox -> no overlap
-    hi_a = hi[act_idx]
-    live_a = av > F
+def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
+    """Per-tile triangle lists (T, cap) + per-tile candidate counts (T,).
+
+    LOSSLESS in candidates up to `cap` per tile: every live face is
+    considered for every tile it overlaps (an earlier revision compacted to
+    a fixed 4096 active faces first, silently dropping candidates on meshes
+    with more live faces — interior views of real scans routinely have
+    >30k). Used by the XLA reference renderer; the TPU fast path
+    (render_views_fused) needs no binning at all (pallas_raster nobin
+    kernel). Tiles with more than `cap` candidates keep the lowest-id cap
+    (raise cap / RASTER_CAP for dense meshes; check counts)."""
+    res = camera.resolution
+    n_tiles_1d = res // tile
+    T = n_tiles_1d * n_tiles_1d
+    lo, hi, live = face_screen_bboxes(camera, mesh)
+    F = mesh.faces.shape[0]
 
     tx = jnp.arange(n_tiles_1d) * tile
-    overlap_x = (hi_a[:, 0:1] >= tx[None]) & (lo_a[:, 0:1] <= tx[None] + tile)
-    overlap_y = (hi_a[:, 1:2] >= tx[None]) & (lo_a[:, 1:2] <= tx[None] + tile)
-    overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (A,Ty,Tx)
-    overlap = (overlap & live_a[:, None, None]).reshape(act_cap, T)
+    overlap_x = (hi[:, 0:1] >= tx[None]) & (lo[:, 0:1] <= tx[None] + tile)
+    overlap_y = (hi[:, 1:2] >= tx[None]) & (lo[:, 1:2] <= tx[None] + tile)
+    overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (F,Ty,Tx)
+    overlap = (overlap & live[:, None, None]).reshape(F, T)
 
     counts = jnp.sum(overlap, 0)  # (T,)
 
-    a_iota = jnp.arange(act_cap, dtype=jnp.int32)
-    keys = jnp.where(overlap.T, 2 * act_cap - a_iota[None, :], -a_iota[None, :])
-    k = min(cap, act_cap)
-    vals, idx = jax.lax.top_k(keys, k)  # (T,k) — idx into the active set
-    tile_tris = jnp.where(vals > act_cap, act_idx[idx], F - 1).astype(jnp.int32)
+    iota = jnp.arange(F, dtype=jnp.int32)
+    keys = jnp.where(overlap.T, 2 * F - iota[None, :], -iota[None, :])
+    k = min(cap, F)
+    vals, idx = jax.lax.top_k(keys, k)  # (T,k)
+    tile_tris = jnp.where(vals > F, idx, F - 1).astype(jnp.int32)
     if k < cap:  # tiny meshes: pad the capacity with degenerate slots
         pad = jnp.full((T, cap - k), F - 1, jnp.int32)
         tile_tris = jnp.concatenate([tile_tris, pad], 1)
@@ -253,20 +257,20 @@ def render_view(
         t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)  # (T,P,C)
         # One fused min-reduction: for positive floats the int32 bit pattern
         # is order-preserving, so pack the *global* candidate slot into the
-        # low 12 mantissa bits (cap <= 4096; ~5e-4 relative t error, far
+        # low 13 mantissa bits (cap <= 8192; ~1e-3 relative t error, far
         # below the 1/512 m label quantization; exact t is recomputed for
-        # the winner after the loop). Identical packing to the Pallas kernel
-        # so both paths pick identical winners.
+        # the winner after the loop). Identical packing (width included) to
+        # the Pallas kernel so both paths pick identical winners.
         ti = jax.lax.bitcast_convert_type(t, jnp.int32)
         slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2) + ci * chunk
-        packed = (ti & ~jnp.int32(0xFFF)) | slot
+        packed = (ti & ~jnp.int32(0x1FFF)) | slot
         pj = jnp.min(packed, -1)  # (T,P)
         closer = pj < best_packed
-        best_j = jnp.where(closer, pj & 0xFFF, best_j)
+        best_j = jnp.where(closer, pj & 0x1FFF, best_j)
         best_packed = jnp.minimum(best_packed, pj)
         return (best_packed, best_j), None
 
-    BIG_PACKED = jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~jnp.int32(0xFFF)
+    BIG_PACKED = jax.lax.bitcast_convert_type(jnp.float32(_BIG), jnp.int32) & ~jnp.int32(0x1FFF)
     init = (jnp.full((T, P), BIG_PACKED, jnp.int32), jnp.zeros((T, P), jnp.int32))
     (packed, jbest), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     valid = packed < BIG_PACKED
@@ -353,7 +357,7 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
     return jnp.concatenate(cols, 1)
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret", "ccap"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -362,28 +366,62 @@ def render_views_fused(
     chunk: int = 128,
     interpret: bool = False,
     vertex_attrs: jax.Array | None = None,
+    ccap: int | None = None,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
 
+    Candidate admission is by CHUNK (128 Morton-ordered faces): per tile,
+    the overlapping chunk ids are computed from per-chunk screen bboxes (a
+    284-wide top_k - trivial vs the per-face sorts the binned design
+    needed) and the kernel slices the global VMEM-resident planes at each
+    listed chunk. Capacity is CHUNK_LIST_CAP chunks/tile (= 4096 candidate
+    faces with room spread); `cap` is accepted for API stability and
+    ignored.
+
     cameras: Camera with a leading batch dim on location/R/fov.
     Returns batched Fragments (K,H,W,...) — and (Fragments, attr_img
     (K,H,W,C)) when vertex_attrs (V,C) is given."""
-    from .pallas_raster import raster_tiles_pallas
+    from .pallas_raster import (
+        CHUNK_LIST_CAP,
+        raster_tiles_pallas_chunklist,
+    )
 
+    del cap
     res = cameras.resolution
     n1d = res // tile
     T = n1d * n1d
     P = tile * tile
     K = cameras.location.shape[0]
+    F = mesh.faces.shape[0]
+    n_chunks = -(-F // chunk)
+    Fp = n_chunks * chunk
+    padF = Fp - F
+    ccap = min(ccap or CHUNK_LIST_CAP, n_chunks)
 
-    def bin_one(loc, R, fov):
-        return bin_triangles(Camera(loc, R, fov, res), mesh, tile, cap)
+    # per-view per-face conservative bboxes -> per-CHUNK bboxes (segment
+    # min/max over the chunk's 128 spatially-coherent faces)
+    lo, hi, _live = jax.vmap(
+        lambda loc, R, fov: face_screen_bboxes(Camera(loc, R, fov, res), mesh)
+    )(cameras.location, cameras.R, cameras.fov)
+    BIGF = 1e9
+    lo = jnp.pad(lo, ((0, 0), (0, padF), (0, 0)), constant_values=BIGF)
+    hi = jnp.pad(hi, ((0, 0), (0, padF), (0, 0)), constant_values=-BIGF)
+    clo = lo.reshape(K, n_chunks, chunk, 2).min(2)  # (K,NC,2)
+    chi = hi.reshape(K, n_chunks, chunk, 2).max(2)
 
-    tile_tris, counts = jax.vmap(bin_one)(
-        cameras.location, cameras.R, cameras.fov
-    )  # (K,T,cap), (K,T)
-    tile_tris = tile_tris.reshape(K * T, cap)
+    # per-tile overlapping-chunk lists: top_k over the (tiny) chunk axis
+    txs = jnp.arange(n1d) * tile
+    ov_x = (chi[..., 0:1] >= txs[None, None]) & (clo[..., 0:1] <= txs[None, None] + tile)
+    ov_y = (chi[..., 1:2] >= txs[None, None]) & (clo[..., 1:2] <= txs[None, None] + tile)
+    overlap = (ov_y[:, :, :, None] & ov_x[:, :, None, :])  # (K,NC,Ty,Tx)
+    overlap = overlap.reshape(K, n_chunks, T).transpose(0, 2, 1)  # (K,T,NC)
+    true_counts = overlap.sum(-1)
+    counts = jnp.where(true_counts > ccap, -1, true_counts).reshape(K * T)
+    ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
+    keys = jnp.where(overlap, 2 * n_chunks - ci_iota, -ci_iota)
+    vals, idx = jax.lax.top_k(keys, ccap)  # ascending chunk ids first
+    clist = jnp.where(vals > n_chunks, idx, 0).reshape(K * T * ccap)
 
     origins, dirs = jax.vmap(lambda loc, R, fov: camera_rays(
         Camera(loc, R, fov, res)))(cameras.location, cameras.R, cameras.fov)
@@ -395,13 +433,19 @@ def render_views_fused(
     dir_planes = (tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2])
 
     pack = scene_pack(mesh, (vertex_attrs,) if vertex_attrs is not None else ())
-    g = pack[tile_tris]  # (K*T, cap, 10+3C) — the one per-view gather
-    gT = jnp.swapaxes(g, 1, 2)  # (K*T, COLS, cap): cap rides the lane dim
-    tri_planes = tuple(gT[:, i] for i in range(9))
+    pack = jnp.pad(pack, ((0, padF), (0, 0))).T  # (COLS, Fp)
+    tris = mesh.vertices[mesh.faces]
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    pad1 = lambda a: jnp.pad(a, (0, padF))
+    tri_planes = tuple(
+        pad1(p[:, i]) for p in (v0, e1, e2) for i in range(3)
+    )
 
-    valid, t, u, v, f, attrs = raster_tiles_pallas(
-        counts.reshape(K * T), origins, tri_planes, gT, dir_planes,
-        chunk=chunk, interpret=interpret, tiles_per_view=T,
+    valid, t, u, v, f, attrs = raster_tiles_pallas_chunklist(
+        clist, counts, origins, tri_planes, pack, dir_planes,
+        chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
     )
     uv = jnp.stack([u, v], -1)
 

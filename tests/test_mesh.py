@@ -356,11 +356,14 @@ def test_obj_mtl_per_face_materials(tmp_path):
     )
     mesh, names = load_obj_mtl(str(tmp_path / "scene.obj"))
     assert names == ["wall_7", "floor_3"]
+    # faces are spatially reordered (Morton) at build; labels/colors stay
+    # consistent per face
     fl = np.asarray(mesh.face_labels[: mesh.num_faces])
-    np.testing.assert_array_equal(fl, [7, 7, 3, 3])  # trailing-int labels
+    assert sorted(fl) == [3, 3, 7, 7]  # trailing-int labels
     fc = np.asarray(mesh.face_colors[: mesh.num_faces])
-    np.testing.assert_allclose(fc[0], [0.9, 0.1, 0.1], atol=1e-6)
-    np.testing.assert_allclose(fc[2], [0.1, 0.8, 0.1], atol=1e-6)
+    for lab, want in ((7, [0.9, 0.1, 0.1]), (3, [0.1, 0.8, 0.1])):
+        np.testing.assert_allclose(fc[fl == lab],
+                                   np.tile(want, (2, 1)), atol=1e-6)
 
     # rendered rgb shows both material colors; semantic shows both labels
     cam = _camera([1.0, 0.5, 2.0], [1.0, 0.5, 0.0], fov=1.1)
