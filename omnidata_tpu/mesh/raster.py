@@ -210,7 +210,7 @@ def render_view(
 
     n_chunks = cap // chunk
 
-    assert cap <= 4096, "global candidate slot must fit in 12 mantissa bits"
+    assert cap <= 8192, "global candidate slot must fit in 13 mantissa bits"
 
     def body(carry, ci):
         best_packed, best_j = carry  # (T,P) int32 packed t|idx, (T,P) idx into cap

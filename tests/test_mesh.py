@@ -433,3 +433,47 @@ def test_obj_mtl_cli_rgb_semantic(tmp_path):
         saw_red |= bool(((a[..., 0] > 200) & (a[..., 2] < 50)).any())
         saw_blue |= bool(((a[..., 2] > 200) & (a[..., 0] < 50)).any())
     assert saw_red and saw_blue
+
+
+def test_render_complete_on_dense_scene():
+    """Regression: with more live faces than any fixed compaction cap, every
+    candidate must still be considered (an earlier binned design silently
+    dropped faces beyond a 4096 active-set on exactly this kind of interior
+    scene — 30% wrong pixels). Cross-validates both render paths against the
+    brute raycaster."""
+    from omnidata_tpu.mesh import render_view_pallas, uv_sphere
+
+    r = room(size=8.0, height=3.0)
+    parts = [r,
+             uv_sphere(radius=0.5, center=(1.5, 0.5, 0.8), n_lat=40, n_lon=80),
+             uv_sphere(radius=0.4, center=(-1.0, -1.5, 0.6), n_lat=40, n_lon=80)]
+    vs, fs, off = [], [], 0
+    for p in parts:
+        vs.append(np.asarray(p.vertices))
+        fs.append(np.asarray(p.faces[: p.num_faces]) + off)
+        off += p.vertices.shape[0]
+    mesh = from_arrays(np.concatenate(vs), np.concatenate(fs))
+    assert mesh.num_faces > 6000  # exceeds the old lossy active-set cap
+
+    cam = _camera([2.5, 1.0, 1.4], [-1.0, -1.0, 0.8], fov=1.2, res=64)
+    origin, dirs = camera_rays(cam)
+    hits = raycast(jnp.broadcast_to(origin, (64 * 64, 3)),
+                   dirs.reshape(-1, 3), mesh)
+    hv = np.asarray(hits.valid)
+    ht = np.asarray(hits.t)
+    hf = np.asarray(hits.face)
+
+    for name, frag in (
+        # XLA path: per-tile capacity is a knob (a sphere can drop 6k+ faces
+        # into one tile); the pallas chunk-list path has no face cap at all
+        ("xla", render_view(cam, mesh, tile=32, cap=8192, chunk=128)),
+        ("pallas", render_view_pallas(cam, mesh, tile=32, chunk=128,
+                                      interpret=True)),
+    ):
+        fv = np.asarray(frag.valid).ravel()
+        np.testing.assert_array_equal(fv, hv, err_msg=name)
+        m = fv & hv
+        np.testing.assert_allclose(np.asarray(frag.t).ravel()[m], ht[m],
+                                   atol=1e-3, err_msg=name)
+        mism = (np.asarray(frag.face).ravel()[m] != hf[m]).mean()
+        assert mism < 2e-3, (name, mism)  # edge ties only
