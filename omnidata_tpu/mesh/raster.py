@@ -387,6 +387,24 @@ def render_views_fused(
         raster_tiles_pallas_chunklist,
     )
 
+    # VMEM ceiling: the kernel keeps the full scene pack + SoA planes
+    # resident (13 + COLS planes x Fp x 4B). Past ~8 MB of pack the program
+    # doesn't fit v5e VMEM; fall back to the (slower, capacity-knobbed) XLA
+    # path so huge scans still render. A streamed-pack kernel (per-chunk
+    # HBM->VMEM DMA) is the eventual fix for production-scale meshes.
+    n_attr_ch = 0 if vertex_attrs is None else vertex_attrs.shape[1]
+    pack_bytes = mesh.faces.shape[0] * (10 + 3 * n_attr_ch + 13) * 4
+    if pack_bytes > 8 * 1024 * 1024:
+        frag = render_views(cameras, mesh, tile, max(cap, 4096), chunk)
+        if vertex_attrs is None:
+            return frag
+        from .shade import interpolate_vertex_attribute
+
+        attr_img = jax.vmap(
+            lambda f: interpolate_vertex_attribute(f, mesh, vertex_attrs)
+        )(frag)
+        return frag, attr_img
+
     del cap
     res = cameras.resolution
     n1d = res // tile
