@@ -281,3 +281,237 @@ def raster_tiles_pallas_chunklist(
     else:
         attrs = jnp.zeros((T, P, 0))
     return valid, t, u, v, f, attrs
+
+
+# ---------------------------------------------------------------------------
+# streamed-pack kernel: per-chunk HBM->VMEM DMA, no mesh-size VMEM cap
+# ---------------------------------------------------------------------------
+#
+# The chunk-list kernel keeps the whole scene pack VMEM-resident, capping
+# meshes at ~90k faces. This variant leaves the pack in HBM (memory_space
+# ANY) and DMAs each listed chunk's (COLS, chunk) slice into a
+# double-buffered VMEM scratch, overlapping the next chunk's copy with the
+# current chunk's math. The loop nest is chunk-OUTER / pixel-block-inner
+# (the per-candidate cross products are computed once per chunk instead of
+# once per pixel block), with the output blocks themselves serving as the
+# cross-chunk accumulators. Geometry rides the pack's first 9 rows, so the
+# 9 separate SoA planes disappear. 19 KB DMAs x ~4 chunks/tile hide well
+# behind ~1 ms of per-chunk VPU work.
+
+
+def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
+                          dir_refs, packed_out, acc_out, pack_buf, sem, *,
+                          chunk: int, pblk: int, tiles_per_view: int,
+                          ccap: int, n_chunks_total: int):
+    t_idx = pl.program_id(0)
+    count = counts_ref[t_idx]
+    overflow = count < 0
+    trip = jnp.where(overflow, n_chunks_total, count)
+    COLS = pack_buf.shape[1]
+    P = dir_refs[0].shape[2]
+
+    view = t_idx // tiles_per_view
+    ox = origins_ref[view, 0]
+    oy = origins_ref[view, 1]
+    oz = origins_ref[view, 2]
+
+    tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+    big_packed = _big_packed()
+
+    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
+    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
+
+    def chunk_of(i):
+        return jnp.where(
+            overflow, i, clist_ref[t_idx * ccap + jnp.minimum(i, ccap - 1)]
+        )
+
+    def copy_op(i, buf):
+        ci = chunk_of(i)
+        return pltpu.make_async_copy(
+            pack_hbm.at[0, :, pl.ds(ci * chunk, chunk)],
+            pack_buf.at[buf],
+            sem.at[buf],
+        )
+
+    @pl.when(trip > 0)
+    def _prologue():
+        copy_op(0, 0).start()
+
+    def body(i, carry):
+        buf = jax.lax.rem(i, 2)
+        copy_op(i, buf).wait()
+
+        @pl.when(i + 1 < trip)
+        def _prefetch():
+            copy_op(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        a = pack_buf[buf]  # (COLS, chunk)
+        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
+        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
+        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
+
+        # per-candidate precompute ONCE per chunk (not per pixel block)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        rx = e2y * tvz - e2z * tvy
+        ry = e2z * tvx - e2x * tvz
+        rz = e2x * tvy - e2y * tvx
+        e2q = e2x * qx + e2y * qy + e2z * qz
+
+        for pb in range(P // pblk):
+            pslice = slice(pb * pblk, (pb + 1) * pblk)
+            dx = dir_refs[0][0, 0, pslice][:, None]
+            dy = dir_refs[1][0, 0, pslice][:, None]
+            dz = dir_refs[2][0, 0, pslice][:, None]
+
+            det = -(dx * nx + dy * ny + dz * nz)
+            udet = dx * rx + dy * ry + dz * rz
+            vdet = dx * qx + dy * qy + dz * qz
+
+            adet = jnp.abs(det)
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            us = udet * sgn
+            vs = vdet * sgn
+            ts = e2q * sgn
+            hit = (
+                (adet >= _EPS)
+                & (us >= -_EDGE_EPS * adet)
+                & (vs >= -_EDGE_EPS * adet)
+                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
+                & (ts > _EPS * adet)
+            )
+            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+            packed = (ti & tie_mask) | lane
+            pj = jnp.min(packed, axis=1)
+            best = packed_out[0, 0, pslice]
+            improved = (pj & tie_mask) < (best & tie_mask)
+
+            win = (packed == pj[:, None]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                win, a, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (pblk, COLS)
+            acc_old = acc_out[0, :, pslice]  # (COLS, pblk)
+            acc_out[0, :, pslice] = jnp.where(
+                improved[None, :], contrib.T, acc_old
+            )
+            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+        return carry
+
+    jax.lax.fori_loop(0, trip, body, 0)
+
+
+@partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
+                                   "tiles_per_view", "ccap"))
+def raster_tiles_pallas_streamed(
+    clist: jax.Array,         # (K*T*ccap,) int32 chunk ids, ascending per tile
+    counts: jax.Array,        # (K*T,) int32 (-1 = overflow: scan all)
+    origin: jax.Array,        # (K,3)
+    pack: jax.Array,          # (COLS, Fp) f32 — stays in HBM
+    dir_planes: tuple,        # 3x (K*T, P)
+    chunk: int = 128,
+    pblk: int = 512,
+    interpret: bool = False,
+    tiles_per_view: int = 64,
+    ccap: int = CHUNK_LIST_CAP,
+):
+    """Same contract/result as raster_tiles_pallas_chunklist but with the
+    scene pack streamed from HBM per chunk — no mesh-size VMEM limit."""
+    T = dir_planes[0].shape[0]
+    P = dir_planes[0].shape[1]
+    COLS = pack.shape[0]
+    Fp = pack.shape[1]
+    n_chunks_total = Fp // chunk
+    assert chunk <= (1 << _LANE_BITS), chunk
+    assert (COLS - 10) % 3 == 0
+    n_attr = (COLS - 10) // 3
+    origins = origin.reshape(-1, 3)
+
+    dir3 = [a.reshape(T, 1, P) for a in dir_planes]
+    pack3 = pack.reshape(1, COLS, Fp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pack stays off-chip
+            *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(3)],
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COLS, P), lambda t, c, n, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, COLS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,
+               packed_o, acc_o, pack_buf, sem):
+        _streamed_tile_kernel(
+            clist_ref, counts_ref, origins_ref, pack_ref, (d0, d1, d2),
+            packed_o, acc_o, pack_buf, sem, chunk=chunk, pblk=pblk,
+            tiles_per_view=tiles_per_view, ccap=ccap,
+            n_chunks_total=n_chunks_total,
+        )
+
+    packed, acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((T, COLS, P), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
+      pack3, *dir3)
+
+    packed = packed[:, 0, :]
+    valid = packed < _big_packed()
+
+    dx, dy, dz = dir_planes
+    v0x, v0y, v0z = acc[:, 0], acc[:, 1], acc[:, 2]
+    e1x, e1y, e1z = acc[:, 3], acc[:, 4], acc[:, 5]
+    e2x, e2y, e2z = acc[:, 6], acc[:, 7], acc[:, 8]
+    o = origins.reshape(T // tiles_per_view, 1, 1, 3)
+    o = jnp.broadcast_to(
+        o, (T // tiles_per_view, tiles_per_view, 1, 3)).reshape(T, 1, 3)
+    tvx, tvy, tvz = o[..., 0] - v0x, o[..., 1] - v0y, o[..., 2] - v0z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
+                    1.0 / jnp.where(det == 0.0, 1.0, det))
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    t = jnp.where(valid, t, _BIG)
+    f = jnp.where(valid, acc[:, 9].astype(jnp.int32), -1)
+
+    if n_attr:
+        corners = acc[:, 10:].reshape(T, n_attr, 3, P)
+        w0 = (1.0 - u - v)[:, None]
+        attrs = (corners[:, :, 0] * w0 + corners[:, :, 1] * u[:, None]
+                 + corners[:, :, 2] * v[:, None])
+        attrs = jnp.moveaxis(attrs, 1, 2)
+    else:
+        attrs = jnp.zeros((T, P, 0))
+    return valid, t, u, v, f, attrs

@@ -357,7 +357,7 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
     return jnp.concatenate(cols, 1)
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret", "ccap"))
+@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret", "ccap", "streamed"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -367,6 +367,7 @@ def render_views_fused(
     interpret: bool = False,
     vertex_attrs: jax.Array | None = None,
     ccap: int | None = None,
+    streamed: bool = False,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
@@ -385,6 +386,7 @@ def render_views_fused(
     from .pallas_raster import (
         CHUNK_LIST_CAP,
         raster_tiles_pallas_chunklist,
+        raster_tiles_pallas_streamed,
     )
 
     # VMEM ceiling: the kernel keeps the full scene pack + SoA planes
@@ -394,7 +396,7 @@ def render_views_fused(
     # HBM->VMEM DMA) is the eventual fix for production-scale meshes.
     n_attr_ch = 0 if vertex_attrs is None else vertex_attrs.shape[1]
     pack_bytes = mesh.faces.shape[0] * (10 + 3 * n_attr_ch + 13) * 4
-    if pack_bytes > 8 * 1024 * 1024:
+    if pack_bytes > 8 * 1024 * 1024 and not streamed:
         frag = render_views(cameras, mesh, tile, max(cap, 4096), chunk)
         if vertex_attrs is None:
             return frag
@@ -461,10 +463,16 @@ def render_views_fused(
         pad1(p[:, i]) for p in (v0, e1, e2) for i in range(3)
     )
 
-    valid, t, u, v, f, attrs = raster_tiles_pallas_chunklist(
-        clist, counts, origins, tri_planes, pack, dir_planes,
-        chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
-    )
+    if streamed:
+        valid, t, u, v, f, attrs = raster_tiles_pallas_streamed(
+            clist, counts, origins, pack, dir_planes,
+            chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
+        )
+    else:
+        valid, t, u, v, f, attrs = raster_tiles_pallas_chunklist(
+            clist, counts, origins, tri_planes, pack, dir_planes,
+            chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
+        )
     uv = jnp.stack([u, v], -1)
 
     def untile(x):

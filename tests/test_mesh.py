@@ -477,3 +477,29 @@ def test_render_complete_on_dense_scene():
                                    atol=1e-3, err_msg=name)
         mism = (np.asarray(frag.face).ravel()[m] != hf[m]).mean()
         assert mism < 2e-3, (name, mism)  # edge ties only
+
+
+def test_streamed_kernel_matches_chunklist():
+    """The HBM-streamed pack kernel (no mesh-size VMEM cap) must produce
+    bit-identical fragments + attrs to the VMEM-resident chunk-list kernel.
+    (Compiled use is gated on a real TPU runtime: the axon remote-compile
+    helper cannot initialize DMA-semaphore programs, so TPU-side default
+    stays the chunk-list kernel; streamed=True is for full TPU VMs / big
+    meshes.)"""
+    from omnidata_tpu.mesh import render_views_fused
+
+    mesh = room(size=4.0, height=2.5)
+    locs = jnp.asarray([[1.0, 0.5, 1.2], [-0.8, 1.1, 1.6]])
+    tg = jnp.asarray([[0, 0, 0.5], [0.5, -0.5, 0.8]])
+    Rs = jax.vmap(look_at_rotation)(locs, tg)
+    cams = Camera(locs, Rs, jnp.asarray([1.0, 1.2]), RES)
+    attrs = mesh.vertex_normals
+    fa, ia = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
+                                vertex_attrs=attrs)
+    fb, ib = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
+                                vertex_attrs=attrs, streamed=True)
+    np.testing.assert_array_equal(np.asarray(fa.valid), np.asarray(fb.valid))
+    m = np.asarray(fa.valid)
+    np.testing.assert_array_equal(np.asarray(fa.face)[m], np.asarray(fb.face)[m])
+    np.testing.assert_array_equal(np.asarray(fa.t)[m], np.asarray(fb.t)[m])
+    np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
