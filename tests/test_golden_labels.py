@@ -122,3 +122,42 @@ def test_segment_unsup25d_golden(reference_root, pv):
     n_gold = len(np.unique(gold))
     assert abs(n_ours - n_gold) <= max(10, n_gold // 2), (n_ours, n_gold)
     assert _adjusted_rand(ours, gold) > 0.6
+
+
+def test_keypoints2d_golden_taskonomy(assets):
+    """Our DoH interest image vs the published taskonomy keypoints2d label,
+    computed from the published rgb of the same view — pins the SURF
+    box-filter constants end-to-end (corr measured 0.91; the published
+    encoder rescales slightly, ratio ~0.93)."""
+    from PIL import Image
+
+    from omnidata_tpu.cues import img_as_uint16
+    from omnidata_tpu.cues.keypoints2d import keypoints2d
+
+    base = assets / "taskonomy"
+    g = np.asarray(
+        Image.open(base / "point_202_view_5_domain_rgb.png").convert("L"),
+        np.float32,
+    ) / 255.0
+    ref = _png(base / "point_202_view_5_domain_keypoints2d.png").astype(float)
+    ours = np.asarray(
+        img_as_uint16(jnp.clip(keypoints2d(jnp.asarray(g)), 0, 1))
+    ).astype(float)
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.85, corr
+
+
+def test_segment_unsup2d_golden_taskonomy(assets):
+    """Full 2D segmentation pipeline vs the published taskonomy label from
+    the same rgb (ARI measured 0.68; our ncut splits finer than the
+    reference's — label ids are arbitrary)."""
+    from PIL import Image
+
+    from omnidata_tpu.cues.segmentation import segment_2d
+
+    base = assets / "taskonomy"
+    rgb = np.asarray(Image.open(base / "point_21_view_2_domain_rgb.png"))
+    gold = _png(base / "point_21_view_2_domain_segment_unsup2d.png")
+    lab = segment_2d(rgb.astype(np.float64), scale=200.0, blur=3.0,
+                     cut_thresh=0.005)
+    assert _adjusted_rand(lab, gold) > 0.5
