@@ -227,3 +227,33 @@ def test_oasis_eval_cli(tmp_path):
     out = _json.loads(buf.getvalue())
     assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
     assert 0 <= out["MAE"] <= 180
+
+
+def test_nyu_dataset_loader(tmp_path):
+    """NYU .h5 + deigen normals_gt companion layout (nyu_dataset.py:62-87)."""
+    import h5py
+    from PIL import Image
+
+    from omnidata_tpu.data.external_eval import NYUNormalDataset
+
+    H, W = 48, 64
+    rng = np.random.RandomState(0)
+    with h5py.File(tmp_path / "0007.h5", "w") as f:
+        f["rgb"] = (rng.rand(3, H, W) * 255).astype(np.uint8)
+        f["depth"] = rng.rand(H, W).astype(np.float32)
+    (tmp_path / "normals_gt" / "normals").mkdir(parents=True)
+    (tmp_path / "normals_gt" / "masks").mkdir(parents=True)
+    n = np.zeros((H, W, 3), np.uint8)
+    n[..., 2] = 255  # +z normals
+    Image.fromarray(n).save(tmp_path / "normals_gt" / "normals" / "0007.png")
+    mask = np.zeros((H, W), np.uint8)
+    mask[10:30, 10:50] = 255
+    Image.fromarray(mask).save(tmp_path / "normals_gt" / "masks" / "0007.png")
+
+    ds = NYUNormalDataset(str(tmp_path), short_side_size=32)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["rgb"].shape[0] == 3 and min(s["rgb"].shape[1:]) == 32
+    assert s["orig_size"] == (H, W)
+    np.testing.assert_allclose(s["normal"][:, 20, 20], [-1, -1, 1], atol=0.01)
+    assert s["mask"][0, 20, 20] == 1.0 and s["mask"][0, 0, 0] == 0.0
