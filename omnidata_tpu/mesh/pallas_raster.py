@@ -57,6 +57,52 @@ def _big_packed() -> jnp.int32:
     )
 
 
+def _decode_winners(packed, acc, origins, dir_planes, tiles_per_view):
+    """Shared post-kernel decode: exact one-shot Möller–Trumbore recompute of
+    the winner's t/u/v from its extracted geometry columns (full-width fused
+    elementwise XLA), face-id decode, and barycentric attribute
+    interpolation. -> (valid, t, u, v, face, attrs)."""
+    T = packed.shape[0]
+    COLS = acc.shape[1]
+    n_attr = (COLS - 10) // 3
+    P = packed.shape[-1]
+    packed = packed[:, 0, :]
+    valid = packed < _big_packed()
+
+    dx, dy, dz = dir_planes
+    v0x, v0y, v0z = acc[:, 0], acc[:, 1], acc[:, 2]
+    e1x, e1y, e1z = acc[:, 3], acc[:, 4], acc[:, 5]
+    e2x, e2y, e2z = acc[:, 6], acc[:, 7], acc[:, 8]
+    o = origins.reshape(T // tiles_per_view, 1, 1, 3)
+    o = jnp.broadcast_to(
+        o, (T // tiles_per_view, tiles_per_view, 1, 3)).reshape(T, 1, 3)
+    tvx, tvy, tvz = o[..., 0] - v0x, o[..., 1] - v0y, o[..., 2] - v0z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
+                    1.0 / jnp.where(det == 0.0, 1.0, det))
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    t = jnp.where(valid, t, _BIG)
+    f = jnp.where(valid, acc[:, 9].astype(jnp.int32), -1)
+
+    if n_attr:
+        corners = acc[:, 10:].reshape(T, n_attr, 3, P)
+        w0 = (1.0 - u - v)[:, None]
+        attrs = (corners[:, :, 0] * w0 + corners[:, :, 1] * u[:, None]
+                 + corners[:, :, 2] * v[:, None])
+        attrs = jnp.moveaxis(attrs, 1, 2)
+    else:
+        attrs = jnp.zeros((T, P, 0))
+    return valid, t, u, v, f, attrs
+
+
 # ---------------------------------------------------------------------------
 # chunk-list kernel: per-tile lists of CHUNK ids (not faces)
 # ---------------------------------------------------------------------------
@@ -246,41 +292,7 @@ def raster_tiles_pallas_chunklist(
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
       *tri3, pack3, *dir3)
 
-    packed = packed[:, 0, :]
-    valid = packed < _big_packed()
-
-    dx, dy, dz = dir_planes
-    v0x, v0y, v0z = acc[:, 0], acc[:, 1], acc[:, 2]
-    e1x, e1y, e1z = acc[:, 3], acc[:, 4], acc[:, 5]
-    e2x, e2y, e2z = acc[:, 6], acc[:, 7], acc[:, 8]
-    o = origins.reshape(T // tiles_per_view, 1, 1, 3)
-    o = jnp.broadcast_to(
-        o, (T // tiles_per_view, tiles_per_view, 1, 3)).reshape(T, 1, 3)
-    tvx, tvy, tvz = o[..., 0] - v0x, o[..., 1] - v0y, o[..., 2] - v0z
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
-                    1.0 / jnp.where(det == 0.0, 1.0, det))
-    qx = tvy * e1z - tvz * e1y
-    qy = tvz * e1x - tvx * e1z
-    qz = tvx * e1y - tvy * e1x
-    u = (tvx * px + tvy * py + tvz * pz) * inv
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    t = jnp.where(valid, t, _BIG)
-    f = jnp.where(valid, acc[:, 9].astype(jnp.int32), -1)
-
-    if n_attr:
-        corners = acc[:, 10:].reshape(T, n_attr, 3, P)
-        w0 = (1.0 - u - v)[:, None]
-        attrs = (corners[:, :, 0] * w0 + corners[:, :, 1] * u[:, None]
-                 + corners[:, :, 2] * v[:, None])
-        attrs = jnp.moveaxis(attrs, 1, 2)
-    else:
-        attrs = jnp.zeros((T, P, 0))
-    return valid, t, u, v, f, attrs
+    return _decode_winners(packed, acc, origins, dir_planes, tiles_per_view)
 
 
 # ---------------------------------------------------------------------------
@@ -480,38 +492,4 @@ def raster_tiles_pallas_streamed(
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
       pack3, *dir3)
 
-    packed = packed[:, 0, :]
-    valid = packed < _big_packed()
-
-    dx, dy, dz = dir_planes
-    v0x, v0y, v0z = acc[:, 0], acc[:, 1], acc[:, 2]
-    e1x, e1y, e1z = acc[:, 3], acc[:, 4], acc[:, 5]
-    e2x, e2y, e2z = acc[:, 6], acc[:, 7], acc[:, 8]
-    o = origins.reshape(T // tiles_per_view, 1, 1, 3)
-    o = jnp.broadcast_to(
-        o, (T // tiles_per_view, tiles_per_view, 1, 3)).reshape(T, 1, 3)
-    tvx, tvy, tvz = o[..., 0] - v0x, o[..., 1] - v0y, o[..., 2] - v0z
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = jnp.where(jnp.abs(det) < _EPS, 0.0,
-                    1.0 / jnp.where(det == 0.0, 1.0, det))
-    qx = tvy * e1z - tvz * e1y
-    qy = tvz * e1x - tvx * e1z
-    qz = tvx * e1y - tvy * e1x
-    u = (tvx * px + tvy * py + tvz * pz) * inv
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    t = jnp.where(valid, t, _BIG)
-    f = jnp.where(valid, acc[:, 9].astype(jnp.int32), -1)
-
-    if n_attr:
-        corners = acc[:, 10:].reshape(T, n_attr, 3, P)
-        w0 = (1.0 - u - v)[:, None]
-        attrs = (corners[:, :, 0] * w0 + corners[:, :, 1] * u[:, None]
-                 + corners[:, :, 2] * v[:, None])
-        attrs = jnp.moveaxis(attrs, 1, 2)
-    else:
-        attrs = jnp.zeros((T, P, 0))
-    return valid, t, u, v, f, attrs
+    return _decode_winners(packed, acc, origins, dir_planes, tiles_per_view)
