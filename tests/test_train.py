@@ -222,13 +222,21 @@ def test_annotate_views_sharded_8_devices():
     dm = make_annotate_mesh(8)
     out = annotate_views_sharded(
         cams, scene, device_mesh=dm, tile=32, cap=256, chunk=64,
-        modalities=("depth_zbuffer", "mask_valid"), use_pallas=False,
+        modalities=("depth_zbuffer", "mask_valid"),
     )
     assert out["depth_zbuffer"].shape == (8, 64, 64)
     assert set(np.unique(np.asarray(out["mask_valid"]))) <= {0, 255}
     # sharded over 'data'
     sh = out["depth_zbuffer"].sharding
     assert getattr(sh, "spec", None) is not None
+    # matches the single-device fused pipeline exactly
+    from omnidata_tpu.annotator import annotate_views
+
+    ref = annotate_views(cams, scene, tile=32, cap=256, chunk=64,
+                         modalities=("depth_zbuffer", "mask_valid"),
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(out["depth_zbuffer"]),
+                                  np.asarray(ref["depth_zbuffer"]))
 
 
 def test_holdout_split_groups():
