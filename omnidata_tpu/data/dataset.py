@@ -191,6 +191,40 @@ class OmnidataDataset:
             )
         return out
 
+    def load_building_mesh(self, building: str, max_edge: float = 0.0):
+        """The scan mesh for a building (pose-aware multiview training /
+        fragment re-rendering) — the reference's load_building_meshes with
+        an LRU cache (dataloader/omnidata_dataset.py:60-97). Looks for
+        mesh.ply / mesh.obj under the building dir (hypersim-style
+        subclasses override _mesh_path). max_edge > 0 splits long edges
+        (see mesh.subdivide_mesh)."""
+        key = (building, max_edge)
+        cache = getattr(self, "_mesh_cache", None)
+        if cache is None:
+            cache = self._mesh_cache = {}
+        if key in cache:
+            return cache[key]
+        from ..mesh import load_obj, load_ply, subdivide_mesh
+
+        path = self._mesh_path(building)
+        if path is None or not os.path.exists(path):
+            raise FileNotFoundError(f"no mesh for building {building!r}")
+        mesh = load_ply(path) if path.endswith(".ply") else load_obj(path)
+        if max_edge:
+            mesh = subdivide_mesh(mesh, max_edge)
+        if len(cache) >= 4:  # small LRU: scan meshes are hundreds of MB
+            cache.pop(next(iter(cache)))
+        cache[key] = mesh
+        return mesh
+
+    def _mesh_path(self, building: str) -> str | None:
+        base = os.path.join(self.o.data_path, building) if building else self.o.data_path
+        for name in ("mesh.ply", "mesh.obj", "mesh_semantic.ply"):
+            p = os.path.join(base, name)
+            if os.path.exists(p):
+                return p
+        return None
+
     def subset(self, keep) -> "OmnidataDataset":
         """Shallow copy restricted to the given index positions."""
         import copy

@@ -167,6 +167,15 @@ class HypersimDataset(OmnidataDataset):
         out[(ids < 0) | (ids == 255)] = 0
         return out
 
+    def _mesh_path(self, building: str) -> str | None:
+        """hypersim: mesh/<scene>.ply shared across the scene's cameras
+        (reference _build_mesh_path, hypersim/__init__.py:178)."""
+        import os as _os
+
+        scene = building.split("-")[0]
+        p = _os.path.join(self.o.data_path, "mesh", f"{scene}.ply")
+        return p if _os.path.exists(p) else super()._mesh_path(building)
+
     # ---- pose --------------------------------------------------------------
     def _load_one(self, entry):
         out = super()._load_one(entry)

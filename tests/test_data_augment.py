@@ -553,3 +553,25 @@ def test_prefetch_loader_matches_sequential():
     loader = PrefetchLoader(Bad(), batch_size=4, num_workers=2)
     with pytest.raises(ValueError):
         list(loader.epoch(seed=0))
+
+
+def test_load_building_mesh_cached(tmp_path):
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.mesh import cube
+    from omnidata_tpu.utils.convert_mesh import write_ply
+
+    b = tmp_path / "bldg1"
+    (b / "rgb").mkdir(parents=True)
+    from PIL import Image
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+        b / "rgb" / "point_0_view_0_domain_rgb.png")
+    c = cube(size=1.0)
+    write_ply(str(b / "mesh.ply"), np.asarray(c.vertices),
+              np.asarray(c.faces[: c.num_faces]))
+    ds = OmnidataDataset(Options(data_path=str(tmp_path), tasks=("rgb",)))
+    m1 = ds.load_building_mesh("bldg1")
+    m2 = ds.load_building_mesh("bldg1")
+    assert m1 is m2  # cached
+    assert m1.num_faces == 12
+    with pytest.raises(FileNotFoundError):
+        ds.load_building_mesh("nope")
