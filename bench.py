@@ -99,9 +99,9 @@ def main():
     tile = 32 if on_tpu else 64   # smaller tiles: fewer candidates/pixel-lane
     cap = 1024
     chunk = 128 if on_tpu else 64
-    K = 16 if on_tpu else 2          # views per batched dispatch (SMEM-bound:
-    # K * tiles * CHUNK_LIST_CAP ids must fit the 1MB scalar memory)
-    n_batches = 32 if on_tpu else 1  # ~3 s timed region amortizes tunnel jitter
+    K = 32 if on_tpu else 2          # views per batched dispatch (SMEM-bound:
+    # K * tiles * CHUNK_LIST_CAP/2 packed id words must fit the 1MB SMEM)
+    n_batches = 16 if on_tpu else 1  # ~3 s timed region amortizes tunnel jitter
     n_views = K * n_batches
 
     mesh, curv = build_scene()

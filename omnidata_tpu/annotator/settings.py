@@ -78,7 +78,7 @@ class Settings:
     RASTER_CHUNK: int = 128
     MAX_FACE_EDGE_METERS: float = 1.0  # split longer edges at load (0 = off);
     # no-op for real scans, kills pathological big faces (walls as 2 tris)
-    VIEWS_PER_DISPATCH: int = 16  # cameras per fused TPU dispatch
+    VIEWS_PER_DISPATCH: int = 32  # cameras per fused TPU dispatch
 
 
 def _coerce(value: str):

@@ -120,8 +120,9 @@ def _decode_winners(packed, acc, origins, dir_planes, tiles_per_view):
 # are list-position*chunk + lane, ascending in face id like the XLA
 # reference, so tie-breaks agree exactly.
 
-CHUNK_LIST_CAP = 48  # chunks per tile; SMEM-bounded (4096 tiles x 48 ids x 4B
-# = 786KB of the 1MB SMEM; tiles needing more fall back to the full scan)
+CHUNK_LIST_CAP = 48  # chunks per tile; SMEM-bounded (ids are packed two per
+# int32, so 8192 tiles x 24 words x 4B = 786KB of the 1MB SMEM; tiles
+# needing more fall back to the full scan)
 
 
 def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
@@ -155,10 +156,12 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
 
         def body(i, carry):
             best, acc = carry
-            ci = jnp.where(
-                overflow, i,
-                clist_ref[t_idx * ccap + jnp.minimum(i, ccap - 1)],
-            )
+            # clist packs two 16-bit chunk ids per SMEM word (halves the
+            # scalar-memory footprint so more views fit per dispatch)
+            j = jnp.minimum(i, ccap - 1)
+            word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
+            ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
+            ci = jnp.where(overflow, i, ci16)
             sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
             v0x, v0y, v0z = sl(tri_refs[0]), sl(tri_refs[1]), sl(tri_refs[2])
             e1x, e1y, e1z = sl(tri_refs[3]), sl(tri_refs[4]), sl(tri_refs[5])
@@ -228,7 +231,8 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
                                    "tiles_per_view", "ccap"))
 def raster_tiles_pallas_chunklist(
-    clist: jax.Array,         # (K*T*ccap,) int32 chunk ids, ascending per tile
+    clist: jax.Array,         # (K*T*ceil(ccap/2),) int32: PAIRS of 16-bit
+                              # chunk ids (lo=even slot), ascending per tile
     counts: jax.Array,        # (K*T,) int32 chunks per tile
     origin: jax.Array,        # (K,3)
     tri_planes: tuple,        # 9x (Fp,) f32 global SoA planes (shared)
@@ -334,9 +338,10 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
     acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
 
     def chunk_of(i):
-        return jnp.where(
-            overflow, i, clist_ref[t_idx * ccap + jnp.minimum(i, ccap - 1)]
-        )
+        j = jnp.minimum(i, ccap - 1)
+        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
+        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
+        return jnp.where(overflow, i, ci16)
 
     def copy_op(i, buf):
         ci = chunk_of(i)

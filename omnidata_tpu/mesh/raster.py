@@ -441,7 +441,12 @@ def render_views_fused(
     ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
     keys = jnp.where(overlap, 2 * n_chunks - ci_iota, -ci_iota)
     vals, idx = jax.lax.top_k(keys, ccap)  # ascending chunk ids first
-    clist = jnp.where(vals > n_chunks, idx, 0).reshape(K * T * ccap)
+    ids = jnp.where(vals > n_chunks, idx, 0)  # (K*T? no: K,T,ccap)
+    ids = ids.reshape(K * T, ccap)
+    if ccap % 2:
+        ids = jnp.pad(ids, ((0, 0), (0, 1)))
+    pairs = ids.reshape(K * T, -1, 2)
+    clist = (pairs[..., 0] | (pairs[..., 1] << 16)).reshape(-1)
 
     origins, dirs = jax.vmap(lambda loc, R, fov: camera_rays(
         Camera(loc, R, fov, res)))(cameras.location, cameras.R, cameras.fov)
