@@ -252,6 +252,7 @@ def raster_tiles_pallas_chunklist(
     assert chunk <= (1 << _LANE_BITS), chunk
     assert (COLS - 10) % 3 == 0
     n_attr = (COLS - 10) // 3
+    pblk = min(pblk, P)  # small tiles: one pixel block
     origins = origin.reshape(-1, 3)
 
     tri3 = [a.reshape(1, 1, Fp) for a in tri_planes]
@@ -452,6 +453,7 @@ def raster_tiles_pallas_streamed(
     assert chunk <= (1 << _LANE_BITS), chunk
     assert (COLS - 10) % 3 == 0
     n_attr = (COLS - 10) // 3
+    pblk = min(pblk, P)  # small tiles: one pixel block
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]

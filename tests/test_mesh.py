@@ -503,3 +503,18 @@ def test_streamed_kernel_matches_chunklist():
     np.testing.assert_array_equal(np.asarray(fa.face)[m], np.asarray(fb.face)[m])
     np.testing.assert_array_equal(np.asarray(fa.t)[m], np.asarray(fb.t)[m])
     np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
+
+
+def test_pallas_small_tile_pixel_block():
+    """tile=16 has P=256 < the default 512 pixel block; the kernel must
+    clamp the block size instead of running zero pixel blocks (regression:
+    uninitialized outputs)."""
+    from omnidata_tpu.mesh import render_view_pallas
+
+    mesh = room(size=4.0, height=2.5)
+    cam = _camera([1.0, 0.5, 1.2], [0, 0, 0.5], fov=1.0)
+    a = render_view(cam, mesh, tile=16, cap=512, chunk=64)
+    b = render_view_pallas(cam, mesh, tile=16, chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    m = np.asarray(a.valid)
+    np.testing.assert_array_equal(np.asarray(a.face)[m], np.asarray(b.face)[m])
