@@ -188,3 +188,25 @@ def unproject_depth(
     else:
         z = depth
     return jnp.stack([x * z, y * z, z], -1)
+
+
+def decompose_KRT(P: "np.ndarray"):
+    """Decompose a 3x4 projection P = K [R|t] into (K, R, t) via RQ with
+    positive-diagonal normalization (create_images_utils.py:109-152
+    get_KRT_from_P). Host-side numpy; K is scaled so K[2,2] = 1."""
+    import numpy as np
+    import scipy.linalg
+
+    P = np.asarray(P, np.float64)
+    M = P[:, :3]
+    K, R = scipy.linalg.rq(M)
+    # normalize: positive diagonal of K, det(R) = +1
+    S = np.diag(np.sign(np.diag(K)))
+    K = K @ S
+    R = S @ R
+    if np.linalg.det(R) < 0:
+        K = -K
+        R = -R
+    t = np.linalg.solve(K, P[:, 3])
+    K = K / K[2, 2]
+    return K, R, t

@@ -153,3 +153,21 @@ def test_batched_shapes():
     pts = jnp.ones((5, 7, 3))
     uv, z = project(K, RT, pts)
     assert uv.shape == (5, 7, 2) and z.shape == (5, 7)
+
+
+def test_decompose_KRT_roundtrip():
+    """RQ decomposition of P = K [R|t] recovers our intrinsics/extrinsics
+    (the reference's get_KRT_from_P, create_images_utils.py:109-152)."""
+    from omnidata_tpu.core.cameras import (
+        decompose_KRT, extrinsic_RT, intrinsic_matrix,
+    )
+
+    loc = jnp.asarray([1.0, -2.0, 1.5])
+    R_obj = look_at_rotation(loc, jnp.asarray([0.5, 0.5, 0.8]))
+    K = np.asarray(intrinsic_matrix(jnp.asarray(0.9), 512), np.float64)
+    RT = np.asarray(extrinsic_RT(loc, R_obj), np.float64)
+    P = K @ RT
+    K2, R2, t2 = decompose_KRT(P)
+    np.testing.assert_allclose(K2, K, atol=1e-6)
+    np.testing.assert_allclose(R2, RT[:, :3], atol=1e-6)
+    np.testing.assert_allclose(t2, RT[:, 3], atol=1e-6)
