@@ -51,12 +51,38 @@ DEVICE_TASKS = {
 }
 
 
-def find_mesh(model_path: str, settings=None):
-    """Load the scene mesh. Honors MODEL_FILE when set (reference
-    settings.py MODEL_FILE / RGB_MODEL_FILE). OBJs with a sibling .mtl load
-    through the per-face-material path (load_obj_mtl) so rgb/semantic get
-    the obj_mtl variants' material colors/labels."""
-    from ..mesh import load_obj, load_obj_mtl, load_ply
+_AXIS_VECS = {
+    "X": (1, 0, 0), "Y": (0, 1, 0), "Z": (0, 0, 1),
+    "-X": (-1, 0, 0), "-Y": (0, -1, 0), "-Z": (0, 0, -1),
+}
+
+
+def _obj_axis_matrix(forward: str, up: str):
+    """Blender OBJ-import axis remap (reference OBJ_AXIS_FORWARD/UP): map
+    the file's (forward, up) axes onto the world's (+Y forward, +Z up) —
+    bpy axis_conversion's target. (Y, Z) is the identity; Blender's default
+    OBJ flags (-Z, Y) give the classic (x, y, z) -> (x, -z, y)."""
+    import numpy as np
+
+    f = np.asarray(_AXIS_VECS[forward.upper()], np.float64)
+    u = np.asarray(_AXIS_VECS[up.upper()], np.float64)
+    r = np.cross(f, u)  # file-frame right axis -> world +X
+    return np.stack([r, f, u])
+
+
+def find_mesh(model_path: str, settings=None, task: str | None = None):
+    """Load the scene mesh. Honors MODEL_FILE (plus RGB_MODEL_FILE /
+    SEMANTIC_MODEL_FILE for their tasks), TEXTURE_FILE, and the
+    OBJ_AXIS_FORWARD/UP import remap (reference settings.py). OBJs with a
+    sibling .mtl load through the per-face-material path (load_obj_mtl) so
+    rgb/semantic get the obj_mtl variants' material colors/labels."""
+    import numpy as np_
+
+    from ..mesh import from_arrays, load_obj, load_obj_mtl, load_ply
+
+    tex = (getattr(settings, "TEXTURE_FILE", "") or None) if settings else None
+    if tex and not os.path.isabs(tex):
+        tex = os.path.join(model_path, tex)
 
     def load_any(p):
         if p.endswith(".ply"):
@@ -68,13 +94,31 @@ def find_mesh(model_path: str, settings=None):
                     mtl = os.path.join(os.path.dirname(p), line.split()[-1])
                     mtl_exists = os.path.exists(mtl)
                     break
-        if mtl_exists:
-            return load_obj_mtl(p)[0]
-        return load_obj(p)
+        mesh = load_obj_mtl(p)[0] if mtl_exists else load_obj(p, texture_path=tex)
+        fwd = getattr(settings, "OBJ_AXIS_FORWARD", "Y") if settings else "Y"
+        up = getattr(settings, "OBJ_AXIS_UP", "Z") if settings else "Z"
+        if (fwd.upper(), up.upper()) != ("Y", "Z"):
+            M = _obj_axis_matrix(fwd, up)
+            v = np_.asarray(mesh.vertices) @ M.T
+            nf = mesh.num_faces
+            mesh = from_arrays(
+                v, np_.asarray(mesh.faces[:nf]),
+                vertex_colors=None if mesh.vertex_colors is None else np_.asarray(mesh.vertex_colors),
+                face_labels=None if mesh.face_labels is None else np_.asarray(mesh.face_labels[:nf]),
+                vertex_uvs=None if mesh.vertex_uvs is None else np_.asarray(mesh.vertex_uvs),
+                texture=None if mesh.texture is None else np_.asarray(mesh.texture),
+                face_colors=None if mesh.face_colors is None else np_.asarray(mesh.face_colors[:nf]),
+            )
+        return mesh
 
     names = []
-    if settings is not None and getattr(settings, "MODEL_FILE", ""):
-        names.append(settings.MODEL_FILE)
+    if settings is not None:
+        if task == "rgb" and getattr(settings, "RGB_MODEL_FILE", ""):
+            names.append(settings.RGB_MODEL_FILE)
+        if task == "semantic" and getattr(settings, "SEMANTIC_MODEL_FILE", ""):
+            names.append(settings.SEMANTIC_MODEL_FILE)
+        if getattr(settings, "MODEL_FILE", ""):
+            names.append(settings.MODEL_FILE)
     names += ["mesh.ply", "mesh.obj", "mesh_semantic.ply", "semantic.obj"]
     for name in names:
         p = os.path.join(model_path, name)
@@ -101,15 +145,32 @@ def run_points(model_path: str, settings) -> None:
 
     mesh = find_mesh(model_path, settings)
     rng = np.random.RandomState(settings.RANDOM_SEED)
-    if settings.SCENE:
+    pose_file = os.path.join(model_path, settings.CAMERA_POSE_FILE)
+    if not settings.GENERATE_CAMERAS and os.path.exists(pose_file):
+        # reuse previously generated cameras (reference GENERATE_CAMERAS)
+        import json
+
+        cams = np.asarray(
+            [c["location"] for c in json.load(open(pose_file))], np.float32
+        )
+    elif settings.SCENE:
+        spacing = settings.MIN_CAMERA_DISTANCE or settings.MIN_CAMERA_SPACING
         cams = sample_camera_locations_building(
             mesh, rng,
-            min_spacing=settings.MIN_CAMERA_SPACING,
+            min_spacing=spacing,
             min_clearance=settings.MIN_CAMERA_DISTANCE_TO_MESH,
         )
+        if settings.MIN_CAMERA_HEIGHT or settings.MAX_CAMERA_HEIGHT:
+            lo = settings.MIN_CAMERA_HEIGHT or -np.inf
+            hi = settings.MAX_CAMERA_HEIGHT or np.inf
+            floor_z = float(np.asarray(mesh.vertices)[:, 2].min())
+            h = cams[:, 2] - floor_z
+            cams = cams[(h >= lo) & (h <= hi)]
     else:
         cams = sample_camera_locations_object(mesh, rng, max(settings.NUM_POINTS, 16),
                                               settings.SPHERE_SCALING_FACTOR)
+    if settings.NUM_CAMERAS:
+        cams = cams[: settings.NUM_CAMERAS]
     if len(cams) == 0:
         raise RuntimeError("no viable camera locations found")
     if settings.POINT_TYPE == "SWEEP":
@@ -215,7 +276,8 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     from ..utils.profiler import Profiler
     from .pipeline import annotate_view
 
-    mesh = find_mesh(model_path, settings)
+    mesh = find_mesh(model_path, settings,
+                     task=tasks[0] if len(tasks) == 1 else None)
     if mesh.vertex_colors is None and mesh.face_colors is None:
         # neutral grey so rgb/edge/keypoint cues are defined for colorless meshes
         import jax.numpy as jnp_
@@ -238,6 +300,9 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     infos = stripe(infos)
 
     mods = tuple(t for t in tasks if t in DEVICE_TASKS)
+    stop = int(getattr(settings, "STOP_VIEW_NUMBER", -1))
+    if stop >= 0:  # render at most stop+1 views per point (reference knob)
+        infos = [views[: stop + 1] for views in infos]
     flat_views = [v for views in infos for v in views]
     n_imgs = len(flat_views)
     kw = dict(tile=settings.RASTER_TILE, cap=settings.RASTER_CAP,

@@ -45,6 +45,19 @@ class Settings:
     MAX_VIEWS_PER_POINT: int = 25
     POINT_TYPE: str = "CORRESPONDENCES"
     MODEL_FILE: str = ""  # explicit mesh filename (else mesh.ply/mesh.obj)
+    RGB_MODEL_FILE: str = ""       # mesh for the rgb task (textured obj)
+    SEMANTIC_MODEL_FILE: str = ""  # mesh for the semantic task
+    TEXTURE_FILE: str = ""         # explicit texture image for load_obj
+    OBJ_AXIS_FORWARD: str = "Y"  # OBJ import axis remap (Blender flags;
+    OBJ_AXIS_UP: str = "Z"       # (Y, Z) = identity, files already world-frame)
+    GENERATE_CAMERAS: bool = True  # False: reuse camera_poses.json
+    CAMERA_POSE_FILE: str = "camera_poses.json"
+    NUM_CAMERAS: int = 0           # cap sampled cameras (0 = no cap)
+    MIN_CAMERA_HEIGHT: float = 0.0   # clamp camera z above floor
+    MAX_CAMERA_HEIGHT: float = 0.0   # 0 = unclamped
+    MIN_CAMERA_DISTANCE: float = 0.0  # min spacing between cameras (alias
+    # for MIN_CAMERA_SPACING when set)
+    STOP_VIEW_NUMBER: int = -1     # render at most N+1 views per point
     MIN_VIEWS_AFTER_PRUNE: int = 1
     MIN_NONFIXATED_AFTER_PRUNE: int = 1
     CREATE_PANOS: bool = False

@@ -323,3 +323,57 @@ def test_sweep_cli_and_rgb_pano(tmp_path):
 
     arr = np.asarray(Image.open(rgbs[0]))
     assert arr.shape == (32, 64, 3) and arr.max() > 0
+
+
+def test_reference_settings_knobs(tmp_path):
+    """run-demo.sh-style knobs: GENERATE_CAMERAS=False reuses
+    camera_poses.json, NUM_CAMERAS caps, STOP_VIEW_NUMBER limits views per
+    point, and OBJ axis remap rotates imported geometry."""
+    import glob
+    import json
+    import os
+
+    import omnidata_tpu.annotator.cli as cli
+    from omnidata_tpu.annotator.cli import _obj_axis_matrix
+    from omnidata_tpu.mesh import room
+    from omnidata_tpu.utils.convert_mesh import write_ply
+
+    # (Y fwd, Z up) — the HM3D demo flags — is the identity (world-frame file)
+    np.testing.assert_allclose(_obj_axis_matrix("Y", "Z"), np.eye(3), atol=0)
+    # Blender's default OBJ flags (-Z fwd, Y up): (x, y, z) -> (x, -z, y)
+    M = _obj_axis_matrix("-Z", "Y")
+    np.testing.assert_allclose(M @ np.array([1.0, 2, 3]), [1, -3, 2], atol=0)
+    assert np.linalg.det(M) == 1.0
+
+    d = str(tmp_path)
+    r = room(size=4.0, height=2.5)
+    write_ply(os.path.join(d, "mesh.ply"), np.asarray(r.vertices),
+              np.asarray(r.faces[: r.num_faces]))
+    cli.main([
+        "--model_path", d, "--task", "points",
+        "with", "NUM_POINTS=2", "RESOLUTION=64", "MIN_CAMERA_SPACING=1.0",
+        "MIN_VIEWS_PER_POINT=2", "MAX_VIEWS_PER_POINT=6",
+        "MIN_NONFIXATED_AFTER_PRUNE=0", "NUM_CAMERAS=5",
+    ])
+    cams = json.load(open(os.path.join(d, "camera_poses.json")))
+    assert len(cams) <= 5
+
+    # GENERATE_CAMERAS=False must keep the same cameras
+    cli.main([
+        "--model_path", d, "--task", "points",
+        "with", "NUM_POINTS=2", "RESOLUTION=64", "GENERATE_CAMERAS=False",
+        "MIN_VIEWS_PER_POINT=2", "MAX_VIEWS_PER_POINT=6",
+        "MIN_NONFIXATED_AFTER_PRUNE=0",
+    ])
+    cams2 = json.load(open(os.path.join(d, "camera_poses.json")))
+    assert [c["location"] for c in cams2] == [c["location"] for c in cams]
+
+    cli.main([
+        "--model_path", d, "--task", "depth_zbuffer",
+        "with", "RESOLUTION=64", "RASTER_TILE=32", "RASTER_CAP=512",
+        "RASTER_CHUNK=64", "STOP_VIEW_NUMBER=0",
+    ])
+    outs = glob.glob(os.path.join(d, "depth_zbuffer", "*.png"))
+    # exactly one view per point rendered
+    points = {os.path.basename(p).split("_")[1] for p in outs}
+    assert len(outs) == len(points)
