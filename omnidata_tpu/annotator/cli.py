@@ -300,13 +300,17 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
     infos = stripe(infos)
 
     mods = tuple(t for t in tasks if t in DEVICE_TASKS)
+    kb = int(getattr(settings, "KEYPOINT_BLUR_RADIUS", 0))
+    # cv2's kernel-size -> sigma rule
+    kb_sigma = 0.3 * ((kb - 1) * 0.5 - 1) + 0.8 if kb > 1 else 0.0
     stop = int(getattr(settings, "STOP_VIEW_NUMBER", -1))
     if stop >= 0:  # render at most stop+1 views per point (reference knob)
         infos = [views[: stop + 1] for views in infos]
     flat_views = [v for views in infos for v in views]
     n_imgs = len(flat_views)
     kw = dict(tile=settings.RASTER_TILE, cap=settings.RASTER_CAP,
-              chunk=settings.RASTER_CHUNK, modalities=mods)
+              chunk=settings.RASTER_CHUNK, modalities=mods,
+              keypoint_blur_sigma=kb_sigma)
 
     # PNG encode/write dominates steady-state wall time (device render is
     # ~5 ms/view batched); overlap it with the next dispatch on a small

@@ -83,7 +83,7 @@ DEVICE_MODALITIES = (
 @partial(
     jax.jit,
     static_argnames=("tile", "cap", "chunk", "parallel_tiles", "modalities",
-                     "use_pallas", "fused_attrs"),
+                     "use_pallas", "fused_attrs", "keypoint_blur_sigma"),
 )
 def annotate_view(
     camera: Camera,
@@ -96,6 +96,7 @@ def annotate_view(
     modalities: tuple = DEVICE_MODALITIES,
     use_pallas: bool | None = None,
     fused_attrs: bool = False,
+    keypoint_blur_sigma: float = 0.0,
 ) -> dict[str, jax.Array]:
     """Render one view and produce all requested device modalities.
 
@@ -191,7 +192,12 @@ def annotate_view(
         if "edge_texture" in modalities:
             out["edge_texture"] = img_as_uint16(edge_texture(gray, sigma=3.0))
         if "keypoints2d" in modalities:
-            out["keypoints2d"] = img_as_uint16(jnp.clip(keypoints2d(gray), 0.0, 1.0))
+            kg = gray
+            if keypoint_blur_sigma > 0:  # KEYPOINT_BLUR_RADIUS preprocessing
+                from ..cues.edges import gaussian_blur_constant
+
+                kg = gaussian_blur_constant(kg, keypoint_blur_sigma)
+            out["keypoints2d"] = img_as_uint16(jnp.clip(keypoints2d(kg), 0.0, 1.0))
 
     if "principal_curvature" in modalities and curvature_mesh is not None:
         if attr_img is not None and "curv" in attr_slices:
@@ -248,7 +254,8 @@ def _gather_attrs(mesh, curvature_mesh, modalities):
 
 @partial(
     jax.jit,
-    static_argnames=("tile", "cap", "chunk", "modalities", "interpret"),
+    static_argnames=("tile", "cap", "chunk", "modalities", "interpret",
+                     "keypoint_blur_sigma"),
 )
 def annotate_views(
     cameras: Camera,
@@ -259,6 +266,7 @@ def annotate_views(
     chunk: int = 128,
     modalities: tuple = DEVICE_MODALITIES,
     interpret: bool = False,
+    keypoint_blur_sigma: float = 0.0,
 ) -> dict[str, jax.Array]:
     """Batched annotation: K cameras -> all modalities as (K, H, W, ...)
     arrays in ONE jitted program.
@@ -329,8 +337,15 @@ def annotate_views(
             out["edge_texture"] = img_as_uint16(
                 jax.vmap(lambda g: edge_texture(g, sigma=3.0))(gray))
         if "keypoints2d" in modalities:
+            kg = gray
+            if keypoint_blur_sigma > 0:  # KEYPOINT_BLUR_RADIUS preprocessing
+                from ..cues.edges import gaussian_blur_constant
+
+                kg = jax.vmap(
+                    lambda g: gaussian_blur_constant(g, keypoint_blur_sigma)
+                )(kg)
             out["keypoints2d"] = img_as_uint16(
-                jnp.clip(jax.vmap(keypoints2d)(gray), 0.0, 1.0))
+                jnp.clip(jax.vmap(keypoints2d)(kg), 0.0, 1.0))
 
     if "principal_curvature" in modalities and curvature_mesh is not None:
         cc = jnp.where(

@@ -69,6 +69,9 @@ class Settings:
     CANNY_RGB_BLUR_SIGMA: float = 3.0
     EDGE_3D_THRESH: float | None = None
     KEYPOINT_SUPPORT_SIZE: float = 0.3
+    KEYPOINT_BLUR_RADIUS: int = 0  # pre-blur the gray input of keypoints2d
+    # (cv2.GaussianBlur kernel size in the reference; sigma derived as
+    # 0.3*((k-1)*0.5 - 1) + 0.8, its k->sigma rule; 0 = off)
     LAMP_ENERGY: float = 2.5
     LAMP_HALF_LIFE_DISTANCE: float = 8.0
     SEGMENTATION_2D_BLUR: float = 3.0
