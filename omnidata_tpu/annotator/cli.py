@@ -532,6 +532,18 @@ def main(argv=None):
     from .settings import load_settings
 
     settings = load_settings(overrides)
+    if settings.RESOLUTION_X or settings.RESOLUTION_Y:
+        # reference RESOLUTION_X/Y aliases: only square renders supported
+        rx = settings.RESOLUTION_X or settings.RESOLUTION_Y
+        ry = settings.RESOLUTION_Y or settings.RESOLUTION_X
+        if rx != ry:
+            raise SystemExit(
+                f"non-square renders unsupported (RESOLUTION_X={rx}, "
+                f"RESOLUTION_Y={ry})"
+            )
+        from dataclasses import replace
+
+        settings = replace(settings, RESOLUTION=rx)
     tasks = TASKS_ALL if args.task == "all" else [args.task]
 
     t0 = time.time()

@@ -85,6 +85,9 @@ class Settings:
     SEGMENTATION_25D_CUT_THRESH: float = 1.0
     SEGMENTATION_25D_SELF_EDGE_WEIGHT: float = 1.0
 
+    RESOLUTION_X: int = 0  # reference aliases; only square renders are
+    RESOLUTION_Y: int = 0  # supported — both must match when set
+
     # ---- runtime ----
     RANDOM_SEED: int = 42
     MAX_CONCURRENT_PROCESSES: int = 1
