@@ -441,8 +441,8 @@ def render_views_fused(
     ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
     keys = jnp.where(overlap, 2 * n_chunks - ci_iota, -ci_iota)
     vals, idx = jax.lax.top_k(keys, ccap)  # ascending chunk ids first
-    ids = jnp.where(vals > n_chunks, idx, 0)  # (K*T? no: K,T,ccap)
-    ids = ids.reshape(K * T, ccap)
+    ids = jnp.where(vals > n_chunks, idx, 0).reshape(K * T, ccap)
+    assert n_chunks < (1 << 16), "chunk ids are packed as 16-bit pairs"
     if ccap % 2:
         ids = jnp.pad(ids, ((0, 0), (0, 1)))
     pairs = ids.reshape(K * T, -1, 2)
