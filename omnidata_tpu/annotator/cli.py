@@ -222,7 +222,6 @@ def run_trajectory(model_path: str, settings) -> None:
     from ..sampling.trajectory import interpolate_trajectory
 
     from ..core.rotations import euler_xyz_to_matrix, quat_to_matrix
-    from ..sampling.trajectory import order_cameras_chain
 
     infos = load_point_info(model_path)
     out = []
@@ -241,13 +240,12 @@ def run_trajectory(model_path: str, settings) -> None:
                 jnp.asarray(v["camera_rotation_final"], jnp.float32)))
 
         key_Rs = np_.stack([_R_of(v) for v in views])
-        locs, Rs, key_of, is_key = interpolate_trajectory(cams, pt, key_Rs)
-        order = order_cameras_chain(cams, pt)
+        locs, Rs, key_view, is_key = interpolate_trajectory(cams, pt, key_Rs)
         frames = []
         for t, (loc, R) in enumerate(zip(locs, Rs)):
             # interpolated frames copy the governing keyframe's point_info
             # (fov, point fields) like the reference's cur_point_info copy
-            v = dict(views[int(order[key_of[t]])])
+            v = dict(views[int(key_view[t])])
             v["camera_uuid"] = str(t).zfill(4)
             v["view_id"] = t
             v["fixated"] = bool(is_key[t])
@@ -348,6 +346,16 @@ def run_device_tasks(model_path: str, tasks: list[str], settings) -> None:
             from .pipeline import annotate_views
 
             K = int(getattr(settings, "VIEWS_PER_DISPATCH", 64))
+            # SMEM bound: K * tiles/view * packed-chunk-id words <= ~900KB
+            from ..mesh.pallas_raster import CHUNK_LIST_CAP
+
+            T_view = (settings.RESOLUTION // settings.RASTER_TILE) ** 2
+            words = ((CHUNK_LIST_CAP + 1) // 2) + 2
+            k_max = max(1, 900_000 // (T_view * words * 4))
+            if K > k_max:
+                print(f"[annotate] clamping VIEWS_PER_DISPATCH {K} -> {k_max} "
+                      f"(SMEM bound at {T_view} tiles/view)")
+                K = k_max
             for s in range(0, n_imgs, K):
                 chunk_views = flat_views[s : s + K]
                 cams = [
@@ -475,8 +483,10 @@ def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
                 )
             if "segment_unsup2d" in tasks:
                 rgb = get("rgb")
+                # keep uint8: felzenszwalb's img_as_float scaling depends on
+                # the dtype (a float64 0-255 array would be double-scaled)
                 labels = segment_2d(
-                    np.asarray(rgb, np.float64),
+                    np.asarray(rgb),
                     scale=settings.SEGMENTATION_2D_SCALE,
                     blur=settings.SEGMENTATION_2D_BLUR,
                     cut_thresh=settings.SEGMENTATION_2D_CUT_THRESH,

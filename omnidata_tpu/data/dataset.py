@@ -159,8 +159,8 @@ class OmnidataDataset:
                             top = int(round((h - size) / 2.0))
                             left = int(round((w - size) / 2.0))
                     arr = self._crop(arr, top, left, size)
-            if isinstance(arr, np.ndarray) and flip and arr.ndim == 3:
-                arr = arr[..., ::-1].copy()
+            if isinstance(arr, np.ndarray) and flip and arr.ndim in (2, 3):
+                arr = arr[..., ::-1].copy()  # mirrors CHW images AND 2D labels
                 if task == "normal":
                     arr[0] = 1.0 - arr[0]  # X flips under mirror
             out[task] = arr

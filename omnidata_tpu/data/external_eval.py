@@ -68,9 +68,9 @@ class OASISNormalDataset:
     def _load_raw(self, index: int):
         from PIL import Image
 
-        color = np.asarray(Image.open(self.img_names[index])).astype(np.float32)
-        if color.ndim == 2:
-            color = np.repeat(color[..., None], 3, -1)
+        color = np.asarray(
+            Image.open(self.img_names[index]).convert("RGB")
+        ).astype(np.float32)
         with open(self.normal_names[index], "rb") as fh:
             nd = pickle.load(fh)
         h, w, _ = color.shape

@@ -31,8 +31,10 @@ class BuildingMetadata:
     def from_point_info(cls, point_infos, atol: float = 1e-4):
         """Camera dedup is O(N) via quantized-location hashing (round to the
         atol grid); the previous all-pairs allclose loop was O(N*C) — a scale
-        hazard at the reference's 14.6M-view datasets. Each camera's 8
-        neighboring grid cells are probed so near-boundary duplicates within
+        hazard at the reference's 14.6M-view datasets. Matching is ABSOLUTE
+        (rtol=0): a relative tolerance would accept matches outside the
+        probed +-1 grid cells for far-from-origin coordinates. Each camera's
+        neighboring 26 cells are probed so near-boundary duplicates within
         atol still coalesce."""
         pts, views, cam_idx, cams = [], [], [], []
         cell_of: dict = {}  # quantized cell -> camera index
@@ -50,7 +52,7 @@ class BuildingMetadata:
                         for dk in (0, -1, 1):
                             i = cell_of.get(key(q, di, dj, dk))
                             if i is not None and np.allclose(
-                                cams[i], loc, atol=atol
+                                cams[i], loc, rtol=0.0, atol=atol
                             ):
                                 found = i
                                 break

@@ -70,7 +70,20 @@ def _resize(img, image_size: int, method: str):
     from PIL import Image
 
     if isinstance(img, np.ndarray):
-        return img  # already decoded (npy path); resizing handled upstream
+        if img.ndim != 2:
+            return img  # npy feature arrays: resizing handled upstream
+        # 2D dense-label arrays (hypersim HDF5 semantics): nearest short-side
+        # resize so the joint square crop sees the SAME scale as the other
+        # tasks (leaving them full-res misaligns every crop)
+        h, w = img.shape
+        if min(h, w) == image_size:
+            return img
+        if w < h:
+            nw, nh = image_size, int(round(h * image_size / w))
+        else:
+            nw, nh = int(round(w * image_size / h)), image_size
+        pil = Image.fromarray(img.astype(np.int32), mode="I")
+        return np.asarray(pil.resize((nw, nh), Image.NEAREST)).astype(img.dtype)
     m = Image.BILINEAR if method == "bilinear" else Image.NEAREST
     w, h = img.size
     if min(w, h) == image_size:

@@ -128,33 +128,63 @@ def face_screen_bboxes(camera: Camera, mesh: TriangleMesh):
 def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     """Per-tile triangle lists (T, cap) + per-tile candidate counts (T,).
 
-    LOSSLESS in candidates up to `cap` per tile: every live face is
-    considered for every tile it overlaps (an earlier revision compacted to
-    a fixed 4096 active faces first, silently dropping candidates on meshes
-    with more live faces — interior views of real scans routinely have
-    >30k). Used by the XLA reference renderer; the TPU fast path
-    (render_views_fused) needs no binning at all (pallas_raster nobin
-    kernel). Tiles with more than `cap` candidates keep the lowest-id cap
-    (raise cap / RASTER_CAP for dense meshes; check counts)."""
+    Candidate-complete up to `cap` faces AND 256 chunks per tile: candidates
+    come from per-tile lists of overlapping 128-face Morton chunks (chunk
+    bboxes -> a top_k over F/128 keys), then a face-level overlap test +
+    top_k over only the listed chunks' faces. This keeps the sort width at
+    256*128 instead of F — an earlier revision keyed a (T, F) matrix, which
+    is a ~1 GB sort per view on million-face scans (exactly the meshes this
+    XLA path serves as the big-mesh fallback). Lowest face ids win on
+    overflow; raise cap / RASTER_CAP for dense meshes (check counts)."""
     res = camera.resolution
     n_tiles_1d = res // tile
     T = n_tiles_1d * n_tiles_1d
     lo, hi, live = face_screen_bboxes(camera, mesh)
     F = mesh.faces.shape[0]
+    chunk = 128
+    n_chunks = -(-F // chunk)
+    Fp = n_chunks * chunk
+    padF = Fp - F
+    BIGF = 1e9
+    lo = jnp.pad(lo, ((0, padF), (0, 0)), constant_values=BIGF)
+    hi = jnp.pad(hi, ((0, padF), (0, 0)), constant_values=-BIGF)
 
-    tx = jnp.arange(n_tiles_1d) * tile
-    overlap_x = (hi[:, 0:1] >= tx[None]) & (lo[:, 0:1] <= tx[None] + tile)
-    overlap_y = (hi[:, 1:2] >= tx[None]) & (lo[:, 1:2] <= tx[None] + tile)
-    overlap = overlap_y[:, :, None] & overlap_x[:, None, :]  # (F,Ty,Tx)
-    overlap = (overlap & live[:, None, None]).reshape(F, T)
+    # level 1: per-tile lists of overlapping chunks (chunk-union bboxes)
+    clo = lo.reshape(n_chunks, chunk, 2).min(1)
+    chi = hi.reshape(n_chunks, chunk, 2).max(1)
+    txs = jnp.arange(n_tiles_1d) * tile
+    cov_x = (chi[:, 0:1] >= txs[None]) & (clo[:, 0:1] <= txs[None] + tile)
+    cov_y = (chi[:, 1:2] >= txs[None]) & (clo[:, 1:2] <= txs[None] + tile)
+    cov = (cov_y[:, :, None] & cov_x[:, None, :]).reshape(n_chunks, T).T  # (T,NC)
+    ccap = min(256, n_chunks)
+    ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
+    ckeys = jnp.where(cov, 2 * n_chunks - ci_iota[None], -ci_iota[None])
+    cvals, cidx = jax.lax.top_k(ckeys, ccap)  # ascending chunk ids first
+    clist = jnp.where(cvals > n_chunks, cidx, n_chunks - 1)  # (T, ccap)
 
-    counts = jnp.sum(overlap, 0)  # (T,)
+    # level 2: face-level overlap + top_k over only the listed chunks' faces
+    fids = (clist[:, :, None] * chunk
+            + jnp.arange(chunk, dtype=jnp.int32)[None, None]).reshape(T, -1)
+    A = ccap * chunk
+    flo = lo[fids]  # (T, A, 2)
+    fhi = hi[fids]
+    ty = jnp.repeat(txs, n_tiles_1d)
+    tx = jnp.tile(txs, n_tiles_1d)
+    ov = (
+        (fhi[..., 0] >= tx[:, None]) & (flo[..., 0] <= tx[:, None] + tile)
+        & (fhi[..., 1] >= ty[:, None]) & (flo[..., 1] <= ty[:, None] + tile)
+    )  # (T, A)
+    counts = jnp.sum(ov, 1)
 
-    iota = jnp.arange(F, dtype=jnp.int32)
-    keys = jnp.where(overlap.T, 2 * F - iota[None, :], -iota[None, :])
-    k = min(cap, F)
-    vals, idx = jax.lax.top_k(keys, k)  # (T,k)
-    tile_tris = jnp.where(vals > F, idx, F - 1).astype(jnp.int32)
+    a_iota = jnp.arange(A, dtype=jnp.int32)
+    keys = jnp.where(ov, 2 * A - a_iota[None], -a_iota[None])
+    k = min(cap, A)
+    vals, idx = jax.lax.top_k(keys, k)  # (T,k) — indices into the A axis
+    tile_tris = jnp.where(
+        vals > A, jnp.take_along_axis(fids, idx, 1), F - 1
+    ).astype(jnp.int32)
+    # padded face ids (>= F) are degenerate; map them to the F-1 pad slot
+    tile_tris = jnp.where(tile_tris >= mesh.num_faces, F - 1, tile_tris)
     if k < cap:  # tiny meshes: pad the capacity with degenerate slots
         pad = jnp.full((T, cap - k), F - 1, jnp.int32)
         tile_tris = jnp.concatenate([tile_tris, pad], 1)
@@ -443,6 +473,12 @@ def render_views_fused(
     vals, idx = jax.lax.top_k(keys, ccap)  # ascending chunk ids first
     ids = jnp.where(vals > n_chunks, idx, 0).reshape(K * T, ccap)
     assert n_chunks < (1 << 16), "chunk ids are packed as 16-bit pairs"
+    smem_bytes = K * T * (((ccap + 1) // 2) + 2) * 4  # clist + counts + slack
+    assert smem_bytes <= 900_000, (
+        f"per-tile chunk lists need ~{smem_bytes} B of TPU scalar memory "
+        f"(limit ~1 MB): lower the views per dispatch (K={K}) or raise the "
+        f"tile size (tiles/view={T} at this resolution)"
+    )
     if ccap % 2:
         ids = jnp.pad(ids, ((0, 0), (0, 1)))
     pairs = ids.reshape(K * T, -1, 2)

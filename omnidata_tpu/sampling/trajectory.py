@@ -33,12 +33,12 @@ def interpolate_trajectory(
     key_Rs: np.ndarray | None = None,
     steps_per_meter: float = 10.0,
 ):
-    """-> (frame_locs (T,3), frame_R (T,3,3), key_of_frame (T,), is_key (T,)).
+    """-> (frame_locs (T,3), frame_R (T,3,3), key_view (T,), is_key (T,)).
 
     key_Rs: per-camera rotation matrices (camera_rotation_final). When None,
     keyframe rotations are look-at fixations on the point (the slerp then
     reduces to spherical interpolation of the viewing directions).
-    key_of_frame[t] is the index (into the CHAINED order) of the keyframe
+    key_view[t] is the ORIGINAL index (into cam_locs/key_Rs) of the keyframe
     governing frame t — the reference copies that keyframe's point_info onto
     interpolated frames."""
     import jax
@@ -80,7 +80,7 @@ def interpolate_trajectory(
     return (
         np.stack(locs).astype(np.float32),
         np.stack(Rs).astype(np.float32),
-        np.asarray(key_of),
+        order[np.asarray(key_of)],  # original-view index per frame
         np.asarray(is_key),
     )
 

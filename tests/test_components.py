@@ -106,8 +106,10 @@ def test_hypersim_end_to_end(hypersim_root):
     got = sample["normal"][:, 16, 16] * 2.0 - 1.0
     np.testing.assert_allclose(got, want, atol=0.02)  # 8-bit quantization
 
-    # --- NYU40 -> taskonomy label remap, undefined -> 0 ---
+    # --- NYU40 -> taskonomy label remap, undefined -> 0; labels resize with
+    # the other tasks so the joint crop stays aligned ---
     sem = sample["semantic"]
+    assert sem.shape == (32, 32)
     assert set(np.unique(sem)) <= {0, CLASS_LABEL_TRANSFORM[1],
                                    CLASS_LABEL_TRANSFORM[2]}
     assert (sem == CLASS_LABEL_TRANSFORM[1]).any()
@@ -119,6 +121,39 @@ def test_hypersim_end_to_end(hypersim_root):
     np.testing.assert_allclose(sample["cam_to_world_T"], want_T, atol=1e-6)
     assert sample["proj_K"].shape == (4, 4)
     assert sample["proj_K_inv"].shape == (3, 3)
+
+
+def test_semantic_labels_flip_with_images(tmp_path):
+    """The joint horizontal flip must mirror 2D dense-label maps too (a
+    3-channel-only guard left semantics unflipped in half the samples)."""
+    import h5py
+    from PIL import Image
+
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+
+    b = tmp_path / "b"
+    for t in ("rgb", "semantic"):
+        (b / t).mkdir(parents=True)
+    H, W = 16, 16
+    rgb = np.zeros((H, W, 3), np.uint8)
+    rgb[:, : W // 2] = 255  # left half white
+    Image.fromarray(rgb).save(b / "rgb" / "point_0_view_0_domain_rgb.png")
+    sem = np.zeros((H, W), np.int16)
+    sem[:, : W // 2] = 7
+    with h5py.File(b / "semantic" / "point_0_view_0_domain_semantic.hdf5",
+                   "w") as f:
+        f["dataset"] = sem
+    ds = OmnidataDataset(Options(data_path=str(tmp_path),
+                                 tasks=("rgb", "semantic"),
+                                 random_flip=True, seed=0))
+    saw_flip = False
+    for _ in range(20):
+        s = ds[0]
+        left_white = s["rgb"][0, 0, 0] > 0.5
+        left_seven = s["semantic"][0, 0] == 7
+        assert left_white == left_seven  # rgb and labels mirror together
+        saw_flip |= not left_white
+    assert saw_flip
 
 
 def test_hypersim_pose_matrix_chain():

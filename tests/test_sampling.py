@@ -150,10 +150,11 @@ def test_trajectory_interpolation(scene):
         [[3.0, 0, 1.5], [0.0, 3, 1.5], [-3.0, 0, 1.5]], np.float32
     )
     point = np.array([0.0, 0, 1.0], np.float32)
-    locs, Rs, key_of, is_key = interpolate_trajectory(cams, point,
-                                                      steps_per_meter=5.0)
+    locs, Rs, key_view, is_key = interpolate_trajectory(cams, point,
+                                                        steps_per_meter=5.0)
     assert len(locs) > 10 and Rs.shape == (len(locs), 3, 3)
-    assert key_of.shape == (len(locs),) and is_key.sum() == 3
+    assert key_view.shape == (len(locs),) and is_key.sum() == 3
+    assert set(key_view) <= {0, 1, 2}  # original view indices
     # keyframes exactly fixated; interpolated frames slerp between them
     # (close to fixated, within the chord-vs-arc gap)
     fwd = point - locs
@@ -180,7 +181,7 @@ def test_trajectory_slerp_preserves_roll():
     point = np.array([0.0, 0, 1.0], np.float32)
     R0 = np.asarray(rot_z(jnp.asarray(0.0)))
     R1 = np.asarray(rot_z(jnp.asarray(np.pi / 2)))
-    locs, Rs, key_of, is_key = interpolate_trajectory(
+    locs, Rs, key_view, is_key = interpolate_trajectory(
         cams, point, key_Rs=np.stack([R0, R1]), steps_per_meter=3.0
     )
     # ends match the keyframes; intermediate angles increase monotonically
