@@ -52,6 +52,20 @@ def transform_dense_labels(img) -> np.ndarray:
     return np.asarray(img).astype(np.int64)
 
 
+def transform_fragment(img, move_last_row: bool = True) -> np.ndarray:
+    """Reference fragment images (dataloader/transforms.py:103-115): RGB
+    pngs used as opaque (H,W,3) face signatures; the official non-hypersim
+    release stores the last COLUMN first, which the reference rotates back.
+    Our own annotator writes raw int32 .npy face ids — ndarray inputs pass
+    through untouched (no quirk to undo)."""
+    if isinstance(img, np.ndarray):
+        return img.astype(np.int64)
+    arr = np.asarray(img)
+    if move_last_row and arr.ndim == 3:
+        arr = np.concatenate([arr[:, 1:], arr[:, 0][:, np.newaxis, :]], axis=1)
+    return arr.astype(np.int64)
+
+
 def transform_mask_valid(img) -> np.ndarray:
     arr = np.asarray(img, np.float32)
     if arr.max() > 1:
@@ -108,9 +122,10 @@ def get_transform(task: str, image_size: int | None = None):
         base = transform_16bit_single_channel
     elif task in ("principal_curvature", "curvature"):
         base = transform_8bit_n_channel(2, crop_channels=True)
+    elif task == "fragments":
+        base = transform_fragment
     elif task in ("semantic", "segment_semantic", "segment_instance",
-                  "fragments", "segment_panoptic", "segment_unsup2d",
-                  "segment_unsup25d"):
+                  "segment_panoptic", "segment_unsup2d", "segment_unsup25d"):
         base = transform_dense_labels
     elif task in ("class_object", "class_scene"):
         base = lambda x: np.asarray(x, np.float32)

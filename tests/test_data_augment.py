@@ -575,3 +575,19 @@ def test_load_building_mesh_cached(tmp_path):
     assert m1.num_faces == 12
     with pytest.raises(FileNotFoundError):
         ds.load_building_mesh("nope")
+
+
+def test_transform_fragment_reference_quirk():
+    """Reference PNG fragments rotate the first column back to the end
+    (dataloader/transforms.py move_last_row); our .npy face ids pass
+    through untouched."""
+    from PIL import Image
+
+    from omnidata_tpu.data.transforms import transform_fragment
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = transform_fragment(Image.fromarray(arr))
+    np.testing.assert_array_equal(out[:, -1], arr[:, 0])
+    np.testing.assert_array_equal(out[:, :-1], arr[:, 1:])
+    ours = np.arange(6, dtype=np.int32).reshape(2, 3)
+    np.testing.assert_array_equal(transform_fragment(ours), ours)
