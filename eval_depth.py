@@ -12,7 +12,9 @@ import json
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--data_path", required=True)
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--nyu_root", default=None,
+                   help="NYU .h5 directory (rgb+depth) — external protocol")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=8)
@@ -26,6 +28,40 @@ def main(argv=None):
     from omnidata_tpu.train.metrics import depth_metrics
 
     bundle = create_model("depth_dpt_hybrid_384", checkpoint=args.checkpoint)
+
+    if args.nyu_root:
+        from omnidata_tpu.data.external_eval import NYUDepthDataset, _resize_chw
+
+        ds = NYUDepthDataset(args.nyu_root)
+        agg: dict = {}
+        n = 0
+        limit = args.max_batches * args.batch_size or len(ds)
+        for i in range(min(limit, len(ds))):
+            import numpy as np
+
+            s = ds[i]
+            x = _resize_chw(s["rgb"], args.image_size, args.image_size)
+            x = (x - 0.5) / 0.5  # depth model takes [-1,1] rgb
+            pred = bundle.apply(bundle.variables, jnp.asarray(x[None]))
+            h, w = s["orig_size"]
+            pred = _resize_chw(np.asarray(pred), h, w)[0]
+            # model outputs [0,1] inverse-ish depth; evaluate vs gt scaled to
+            # [0,1] by NYU's max range (the reference's clamp_to convention)
+            gt = np.clip(s["depth"][0] / ds.MAX_DEPTH, 0, 1)
+            m = jnp.asarray(s["mask"][0] > 0.5)
+            out = depth_metrics(jnp.asarray(pred)[None, None],
+                                jnp.asarray(gt)[None, None],
+                                m[None, None])
+            for k, v in out.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            raise SystemExit("no NYU samples found")
+        print(json.dumps({k: v / n for k, v in agg.items()}, indent=2))
+        return
+
+    if not args.data_path:
+        raise SystemExit("one of --data_path / --nyu_root required")
     ds = OmnidataDataset(
         Options(
             data_path=args.data_path,

@@ -174,6 +174,47 @@ class NYUNormalDataset:
         }
 
 
+class NYUDepthDataset:
+    """NYU .h5 files with 'rgb' (3,H,W) uint8 and 'depth' (H,W) float
+    meters (paper_code/data/nyu_dataset.py h5_loader) — the depth-eval
+    counterpart of NYUNormalDataset; mask = depth within NYU's valid range
+    (0.02-10 m)."""
+
+    MIN_DEPTH, MAX_DEPTH = 0.02, 10.0
+
+    def __init__(self, root: str, short_side_size: int = 512):
+        self.files = sorted(
+            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".h5")
+        )
+        self.short_side_size = short_side_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int):
+        import h5py
+
+        with h5py.File(self.files[index], "r") as f:
+            rgb = np.asarray(f["rgb"])
+            depth = np.asarray(f["depth"], np.float32)
+        if rgb.shape[0] != 3:
+            rgb = rgb.transpose(2, 0, 1)
+        mask = ((depth > self.MIN_DEPTH) & (depth < self.MAX_DEPTH)).astype(
+            np.float32
+        )
+        h, w = depth.shape
+        s = self.short_side_size
+        rh, rw = (s, int(s * w / h)) if w > h else (int(s * h / w), s)
+        x = _resize_chw(rgb.astype(np.float32), rh, rw) / 255.0
+        return {
+            "rgb": x.astype(np.float32),
+            "depth": depth[None],
+            "mask": mask[None],
+            "orig_size": (h, w),
+            "name": self.files[index],
+        }
+
+
 def make_oasis_model_fn(apply_fn, variables):
     """Model adapter (oasis_eval_tta.py:440-445): [0,1]-encoded normals ->
     [-1,1], z flipped into OASIS coords, L2-normalized."""

@@ -292,3 +292,28 @@ def test_nyu_dataset_loader(tmp_path):
     assert s["orig_size"] == (H, W)
     np.testing.assert_allclose(s["normal"][:, 20, 20], [-1, -1, 1], atol=0.01)
     assert s["mask"][0, 20, 20] == 1.0 and s["mask"][0, 0, 0] == 0.0
+
+
+def test_nyu_depth_eval_cli(tmp_path):
+    """eval_depth.py --nyu_root runs the external depth protocol on
+    synthetic .h5 fixtures."""
+    import contextlib
+    import io
+    import json as _json
+
+    import h5py
+
+    import eval_depth
+
+    H, W = 48, 64
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        with h5py.File(tmp_path / f"{i:04}.h5", "w") as f:
+            f["rgb"] = (rng.rand(3, H, W) * 255).astype(np.uint8)
+            f["depth"] = (rng.rand(H, W) * 5 + 0.5).astype(np.float32)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eval_depth.main(["--nyu_root", str(tmp_path), "--image_size", "64"])
+    out = _json.loads(buf.getvalue())
+    assert any("log10" in k for k in out) and any("rel" in k for k in out)
+    assert all(np.isfinite(v) for v in out.values())
