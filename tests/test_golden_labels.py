@@ -21,11 +21,17 @@ def assets(reference_root):
     return reference_root / "omnidata_annotator" / "assets"
 
 
-def test_mask_valid_exact(assets):
+@pytest.mark.parametrize("comp,pv", [
+    ("google-objects", "point_21_view_5"),
+    ("blendedMVG", "point_1006_view_0"),   # non-square real-scan component
+])
+def test_mask_valid_exact(assets, comp, pv):
     """mask_valid = 255 * (1 - (depth == 65535)) — exact byte parity."""
-    base = assets / "google-objects"
-    d = _png(base / "point_21_view_5_domain_depth_zbuffer.png").astype(np.uint32)
-    ref = _png(base / "point_21_view_5_domain_mask_valid.png")
+    base = assets / comp
+    d = _png(base / f"{pv}_domain_depth_zbuffer.png").astype(np.uint32)
+    ref = _png(base / f"{pv}_domain_mask_valid.png")
+    if ref.ndim == 3:
+        ref = ref[..., 0]
     ours = np.where(d == 65535, 0, 255).astype(np.uint8)
     assert (ours == ref).all()
 
