@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     args = p.parse_args(argv)
     cfg = yaml.safe_load(open(args.config_file))
+    _known = {"augment", "batch_size", "checkpoint_dir", "ckpt_step", "data_parallel", "data_paths", "image_size", "log_step", "lr", "max_steps", "model_parallel", "save_top_k", "val_data_paths", "val_fraction"}
+    unknown = sorted(set(cfg) - _known)
+    if unknown:
+        print(f"[config] WARNING: ignoring unknown keys {unknown} "
+              f"(known: {sorted(_known)})")
 
     import jax
     import jax.numpy as jnp
