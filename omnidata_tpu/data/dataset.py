@@ -90,10 +90,7 @@ class OmnidataDataset:
         cache = None
         if self.o.cache_dir:
             os.makedirs(self.o.cache_dir, exist_ok=True)
-            key = "{}.pkl".format(abs(hash((
-                self.o.data_path, self.o.tasks, self.o.split, self.o.split_csv
-            ))))
-            cache = os.path.join(self.o.cache_dir, key)
+            cache = os.path.join(self.o.cache_dir, self._cache_key())
             if os.path.exists(cache):
                 with open(cache, "rb") as fh:
                     return pickle.load(fh)
@@ -121,6 +118,18 @@ class OmnidataDataset:
             with open(cache, "wb") as fh:
                 pickle.dump(index, fh)
         return index
+
+    def _cache_key(self) -> str:
+        """Stable across processes — Python's str hash is salted per
+        interpreter (the reference's FileDirCache keys on a repr for the
+        same reason, dataloader/omnidata_dataset.py:174-178)."""
+        import hashlib
+
+        spec = repr((
+            os.path.abspath(self.o.data_path), tuple(self.o.tasks),
+            self.o.split, self.o.split_csv,
+        ))
+        return hashlib.md5(spec.encode()).hexdigest() + ".pkl"
 
     # ---- sampling ---------------------------------------------------------
     def __len__(self):
@@ -236,6 +245,16 @@ class OmnidataDataset:
             ds._bp_map.setdefault((b, p), []).append(i)
         ds.rng = np.random.RandomState(self.o.seed)
         return ds
+
+    def filter_buildings(self, allowed) -> "OmnidataDataset":
+        """Restrict to buildings in `allowed` — the training-side subset
+        ladder (reference config/depth.yml taskonomy_variant: fullplus)."""
+        allowed = set(allowed)
+        keep = [i for i, (b, _, _, _) in enumerate(self.index) if b in allowed]
+        return self.subset(keep)
+
+    def buildings(self) -> list:
+        return sorted({b for b, _, _, _ in self.index})
 
     def holdout(self, fraction: float = 0.05):
         """(train, val) split by whole (building, point) groups — views of a

@@ -30,6 +30,86 @@ def _stack(items: list) -> dict:
     return batch
 
 
+class MixedLoader:
+    """Per-batch equal-component mixing with threaded prefetch — the role of
+    the reference's WeightedRandomSampler over a ConcatDataset
+    (train_normal.py:140-156: each sample drawn from component k with
+    probability 1/k) + the CombinedLoader 1/k-per-batch datamodule
+    (dataloader/pytorch_lightning_datamodule.py:12-96), fused with the
+    num_workers=16 decode pool.
+
+    Every item of every batch picks a uniformly-random component, then a
+    uniformly-random sample within it; decode runs on a thread pool with
+    `prefetch_batches` whole batches in flight ahead of the consumer.
+
+        loader = MixedLoader([ds_a, ds_b], batch_size=8, num_workers=8)
+        for batch in loader.batches(steps=1000, seed=0):
+            ...
+    """
+
+    def __init__(self, datasets, batch_size: int, num_workers: int = 8,
+                 prefetch_batches: int = 2):
+        assert datasets and all(len(d) for d in datasets)
+        self.datasets = list(datasets)
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch_batches)
+
+    def batches(self, steps: int, seed: int | None = 0):
+        rng = np.random.RandomState(seed)
+        # resolve the whole (component, item) plan up front: deterministic
+        # for a fixed seed regardless of decode-thread timing
+        plan = []
+        for _ in range(steps):
+            row = []
+            for _ in range(self.batch_size):
+                d = rng.randint(len(self.datasets))
+                row.append((d, rng.randint(len(self.datasets[d]))))
+            plan.append(row)
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = []
+                for row in plan:
+                    if stop.is_set():
+                        return
+                    futures.append([
+                        pool.submit(self.datasets[d].__getitem__, int(i))
+                        for d, i in row
+                    ])
+                    while len(futures) > self.prefetch or (
+                        futures and row is plan[-1]
+                    ):
+                        fs = futures.pop(0)
+                        try:
+                            out_q.put(_stack([f.result() for f in fs]))
+                        except Exception as e:  # surface in the consumer
+                            out_q.put(e)
+                            return
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 8,
                  prefetch_batches: int = 2, drop_last: bool = True):

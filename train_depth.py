@@ -2,11 +2,14 @@
 (reference: omnidata_tools/torch/train_depth.py + config/depth.yml).
 
     python train_depth.py --config_file config/depth.yml [--max_steps N]
+        [--resume] [--pretrained ckpt]
 
 Loss: MiDaS SSI-MAE (+ 0.1 gradient matching + 10 VNL after 15k steps);
 Adam lr 1e-5, grad-clip 10; rgb normalized to [-1,1]; fixed 384 resize;
 data-parallel over all local devices (+ optional 'model' axis), Orbax
-checkpoints with save_top_k on the validation loss.
+checkpoints with save_top_k on the validation loss; batches mix components
+1/k with a threaded prefetch pool (reference WeightedRandomSampler +
+DataLoader(num_workers=16), train_depth.py).
 """
 from __future__ import annotations
 
@@ -17,24 +20,37 @@ import time
 import numpy as np
 import yaml
 
+KNOWN_KEYS = {
+    "augment", "batch_size", "cache_dir", "checkpoint_dir", "ckpt_step",
+    "data_parallel", "data_paths", "image_size", "log_step", "lr",
+    "max_steps", "model_parallel", "num_workers", "pretrained",
+    "pretrained_weights_path", "save_top_k", "taskonomy_variant",
+    "train_datasets", "val_data_paths", "val_datasets", "val_fraction",
+    "val_step", "weight_decay",
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", default="config/depth.yml")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="restore params+optimizer+step from <ckpt_dir>/last")
+    p.add_argument("--pretrained", default=None,
+                   help="warm-start params from a converted torch .ckpt/.pth "
+                        "or an Orbax checkpoint dir")
     args = p.parse_args(argv)
     cfg = yaml.safe_load(open(args.config_file))
-    _known = {"augment", "batch_size", "checkpoint_dir", "ckpt_step", "data_parallel", "data_paths", "image_size", "log_step", "lr", "max_steps", "model_parallel", "save_top_k", "val_data_paths", "val_fraction"}
-    unknown = sorted(set(cfg) - _known)
+    unknown = sorted(set(cfg) - KNOWN_KEYS)
     if unknown:
         print(f"[config] WARNING: ignoring unknown keys {unknown} "
-              f"(known: {sorted(_known)})")
+              f"(known: {sorted(KNOWN_KEYS)})")
 
     import jax
     import jax.numpy as jnp
 
-    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.data.loader import MixedLoader
     from omnidata_tpu.losses import VNLParams
     from omnidata_tpu.models import DPTHybrid
     from omnidata_tpu.train import (
@@ -46,10 +62,15 @@ def main(argv=None):
         make_depth_train_step,
         make_mesh,
         param_sharding,
-        replicated,
     )
     from omnidata_tpu.train.checkpoints import CheckpointManager
-    from omnidata_tpu.train.loop import dump_val_images, run_validation, split_train_val
+    from omnidata_tpu.train.driver import (
+        build_datasets,
+        load_pretrained_variables,
+        state_tree,
+        try_resume,
+    )
+    from omnidata_tpu.train.loop import dump_val_images, run_validation
 
     image_size = int(cfg.get("image_size", 384))
     batch_size = int(cfg.get("batch_size", 8))
@@ -57,40 +78,11 @@ def main(argv=None):
     max_steps = args.max_steps or int(cfg.get("max_steps", 100000))
     ckpt_dir = args.checkpoint_dir or cfg.get("checkpoint_dir", "./checkpoints/depth")
 
-    # datasets: one per configured component, equal sampling
-    datasets = []
-    for comp, path in (cfg.get("data_paths") or {}).items():
-        if not path or not os.path.isdir(path):
-            continue
-        datasets.append(
-            OmnidataDataset(
-                Options(
-                    data_path=path,
-                    tasks=("rgb", "depth_zbuffer", "mask_valid"),
-                    image_size=image_size,
-                    random_flip=True,
-                )
-            )
-        )
+    datasets, val_datasets = build_datasets(
+        cfg, tasks=("rgb", "depth_zbuffer", "mask_valid"), image_size=image_size
+    )
     if not datasets:
         raise SystemExit("no data_paths configured / found in config")
-
-    # validation: explicit val_data_paths, else holdout split per component
-    # (reference monitors val_depth_loss, train_depth.py ModelCheckpoint)
-    val_datasets = []
-    for comp, path in (cfg.get("val_data_paths") or {}).items():
-        if path and os.path.isdir(path):
-            val_datasets.append(
-                OmnidataDataset(
-                    Options(data_path=path,
-                            tasks=("rgb", "depth_zbuffer", "mask_valid"),
-                            image_size=image_size, random_flip=False)
-                )
-            )
-    if not val_datasets:
-        datasets, val_datasets = split_train_val(
-            datasets, float(cfg.get("val_fraction", 0.05))
-        )
 
     n_model = int(cfg.get("model_parallel", 1))
     n_data = cfg.get("data_parallel")  # None = all remaining devices
@@ -99,6 +91,12 @@ def main(argv=None):
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
     )
+    pretrained = args.pretrained or (
+        cfg.get("pretrained_weights_path") if cfg.get("pretrained") else None
+    )
+    if pretrained:
+        variables = load_pretrained_variables(pretrained, "dpt")
+        print(f"warm-started from {pretrained}")
     variables = jax.device_put(variables, param_sharding(variables, mesh))
     state = create_train_state(variables, depth_optimizer(lr=lr))
 
@@ -115,7 +113,10 @@ def main(argv=None):
     eval_fn = jax.jit(make_depth_eval_step(apply_fn, vnl_params))
 
     ckpt = CheckpointManager(ckpt_dir, save_top_k=int(cfg.get("save_top_k", 3)))
-    rng = np.random.RandomState(0)
+    if args.resume:
+        state, resumed = try_resume(ckpt, state, mesh)
+        if resumed:
+            print(f"resumed from {ckpt_dir}/last at step {int(state.step)}")
     key = jax.random.PRNGKey(0)
     b_shard = batch_sharding(mesh)
 
@@ -145,35 +146,39 @@ def main(argv=None):
             return None
         print(f"step {step}: val_depth_loss {val_loss:.4f}")
         dump_val_images(ckpt_dir, step, sample)
-        ckpt.save(jax.device_get(state.params), step, metric=val_loss)
+        ckpt.save(state_tree(state), step, metric=val_loss)
         return val_loss
 
-    step = 0
+    step = int(state.step)
+    log_step = int(cfg.get("log_step", 100))
+    val_step = int(cfg.get("val_step", 3000))  # reference log_step: 3000
+    ckpt_step = int(cfg.get("ckpt_step", 1000))
+    loader = MixedLoader(datasets, batch_size,
+                         num_workers=int(cfg.get("num_workers", 8)))
     t0 = time.time()
+    done = 0
     with mesh:
-        while step < max_steps:
-            ds = datasets[rng.randint(len(datasets))]
-            for batch in ds.batches(batch_size):
-                b = prepare(batch, train=True)
-                key, k = jax.random.split(key)
-                try:
-                    state, metrics = step_fn(state, b, k)
-                except Exception as e:  # crash dump (train_*.py:341-348)
-                    from omnidata_tpu.train import save_crash_dump
+        for batch in loader.batches(steps=max_steps - step, seed=step):
+            b = prepare(batch, train=True)
+            key, k = jax.random.split(key)
+            try:
+                state, metrics = step_fn(state, b, k)
+            except Exception as e:  # crash dump (train_*.py:341-348)
+                from omnidata_tpu.train import save_crash_dump
 
-                    d = save_crash_dump(ckpt_dir, state.params, b, e)
-                    print(f"saved crash dump to {d}")
-                    raise
-                step += 1
-                if step % int(cfg.get("log_step", 100)) == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    print(f"step {step}: {m} ({(time.time()-t0)/step:.2f}s/step)")
-                    validate(step)
-                if step % int(cfg.get("ckpt_step", 1000)) == 0:
-                    ckpt.save(jax.device_get(state.params), step, metric=None)
-                if step >= max_steps:
-                    break
-    ckpt.save(jax.device_get(state.params), step, metric=None)
+                d = save_crash_dump(ckpt_dir, state.params, b, e)
+                print(f"saved crash dump to {d}")
+                raise
+            step += 1
+            done += 1
+            if step % log_step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"step {step}: {m} ({(time.time()-t0)/done:.2f}s/step)")
+            if step % val_step == 0:
+                validate(step)
+            if step % ckpt_step == 0:
+                ckpt.save(state_tree(state), step, metric=None)
+    ckpt.save(state_tree(state), step, metric=None)
     print(f"done: {step} steps in {time.time()-t0:.1f}s")
 
 
