@@ -10,9 +10,18 @@ R (K1) and G (K2) channels, B = 0), then rendered with the shared rasterizer.
 
 Estimator: local quadric patch fit. For each vertex, neighbors within the
 k-ring graph are projected into the tangent frame and z = ax^2 + bxy + cy^2 is
-least-squares fit; principal curvatures are the eigenvalues of [[2a, b],
+least-squares fit; principal curvatures are the eigenvalues of -[[2a, b],
 [b, 2c]]. (APSS fits algebraic spheres instead; both converge to the true
-curvatures on smooth dense meshes — validated on analytic spheres in tests.)
+curvatures on smooth dense meshes — validated on analytic sphere/torus/saddle
+tests.)
+
+Sign convention (matches MeshLab APSS / the published principal_curvature
+labels): POSITIVE where the surface bends away from the oriented normal —
+a sphere with outward normals has K1 = K2 = +1/R, so convex regions encode
+bright (> 0.5) in the R/G channels and concave corners dark, as in the
+reference assets (create_curvature_images.py:183: "a principal curvature of
+k corresponds to the curvature of a sphere of radius r = 1/k").
+Ordering: K1 >= K2 (K1 is the max curvature, R channel).
 """
 from __future__ import annotations
 
@@ -62,7 +71,8 @@ def vertex_principal_curvatures(
         M = np.stack([x * x, x * y, y * y], -1)
         coef, *_ = np.linalg.lstsq(M, z, rcond=None)
         a, b, c = coef
-        S = np.array([[2 * a, b], [b, 2 * c]])
+        # minus: convex-positive (bend away from the normal), see module doc
+        S = -np.array([[2 * a, b], [b, 2 * c]])
         w = np.linalg.eigvalsh(S)
         k1[i], k2[i] = w[1], w[0]
     return k1, k2

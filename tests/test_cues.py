@@ -136,13 +136,98 @@ def test_curvature_on_sphere():
     f = np.asarray(mesh.faces[: mesh.num_faces])
     vn = np.asarray(mesh.vertex_normals)
     k1, k2 = vertex_principal_curvatures(v, f, vn, rings=2)
-    # analytic: k1 = k2 = 1/0.5 = 2 (sign: convex w.r.t. outward normals -> negative z
-    # in tangent frame -> negative curvature by our convention; check magnitude)
+    # analytic: k1 = k2 = +1/0.5 = +2 — convex w.r.t. outward normals is
+    # POSITIVE (MeshLab APSS convention; published labels encode convex
+    # bright, create_curvature_images.py:183-222)
     interior = np.abs(v[:, 2]) < 0.45  # away from pole triangulation artifacts
-    med1 = np.median(np.abs(k1[interior]))
-    med2 = np.median(np.abs(k2[interior]))
+    med1 = np.median(k1[interior])
+    med2 = np.median(k2[interior])
     assert 1.5 < med1 < 2.5, med1
     assert 1.5 < med2 < 2.5, med2
+
+
+def _grid_faces(nu: int, nv: int, wrap_u=False, wrap_v=False):
+    """Triangulate an (nu, nv) vertex grid (optionally periodic)."""
+    faces = []
+    mu = nu if wrap_u else nu - 1
+    mv = nv if wrap_v else nv - 1
+    for i in range(mu):
+        for j in range(mv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces += [[a, b, c], [a, c, d]]
+    return np.asarray(faces, np.int64)
+
+
+def test_curvature_on_torus():
+    """Torus R=1, r=0.3 with analytic outward normals: the tube direction has
+    K1 = +1/r everywhere; K2 = cos(theta)/(R + r cos(theta)) flips sign
+    between the outer (convex, +1/(R+r)) and inner (saddle, -1/(R-r))
+    equators — pins sign AND K1>=K2 ordering on real curved geometry
+    (VERDICT r2 #6; reference APSS: create_curvature_meshes.py:17-52)."""
+    R, r = 1.0, 0.3
+    nu, nv = 96, 48  # around the ring, around the tube
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    th = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    U, T = np.meshgrid(u, th, indexing="ij")
+    cx = (R + r * np.cos(T)) * np.cos(U)
+    cy = (R + r * np.cos(T)) * np.sin(U)
+    cz = r * np.sin(T)
+    v = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+    vn = np.stack(
+        [np.cos(T) * np.cos(U), np.cos(T) * np.sin(U), np.sin(T)], -1
+    ).reshape(-1, 3)
+    f = _grid_faces(nu, nv, wrap_u=True, wrap_v=True)
+    k1, k2 = vertex_principal_curvatures(v, f, vn, rings=2)
+    theta = T.reshape(-1)
+    k_tube = 1.0 / r                              # 3.333
+    k_ring = np.cos(theta) / (R + r * np.cos(theta))
+    ka = np.maximum(k_tube, k_ring)               # analytic K1 (max)
+    kb = np.minimum(k_tube, k_ring)               # analytic K2 (min)
+    assert np.all(k1 >= k2 - 1e-9)                # ordering invariant
+    assert np.median(np.abs(k1 - ka)) < 0.35 * k_tube
+    assert np.median(np.abs(k2 - kb)) < 0.35 * k_tube
+    outer = np.abs(theta) < 0.2                   # convex equator: K2 > 0
+    inner = np.abs(theta - np.pi) < 0.2           # inner equator: K2 < 0
+    assert np.median(k2[outer]) > 0.3             # ~ +0.77
+    assert np.median(k2[inner]) < -0.6            # ~ -1.43
+    assert np.median(k1[outer]) > 2.0             # tube curvature ~ +3.33
+
+
+def test_curvature_on_hyperbolic_paraboloid():
+    """Saddle z = (x^2 - y^2)/2 with normals ~ +z at origin: K1 = +1 > 0 >
+    K2 = -1 — a genuinely anisotropic K1>0>K2 case the sphere can't probe."""
+    n = 41
+    s = np.linspace(-1.0, 1.0, n)
+    X, Y = np.meshgrid(s, s, indexing="ij")
+    Z = 0.5 * (X ** 2 - Y ** 2)
+    v = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    # analytic normal of z - f(x,y): (-fx, -fy, 1)/norm = (-x, y, 1)/norm
+    nrm = np.stack([-X, Y, np.ones_like(X)], -1).reshape(-1, 3)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    f = _grid_faces(n, n)
+    k1, k2 = vertex_principal_curvatures(v, f, nrm, rings=2)
+    centre = (np.abs(v[:, 0]) < 0.15) & (np.abs(v[:, 1]) < 0.15)
+    assert np.median(k1[centre]) == pytest.approx(1.0, abs=0.15)
+    assert np.median(k2[centre]) == pytest.approx(-1.0, abs=0.15)
+    assert np.all(k1[centre] > 0) and np.all(k2[centre] < 0)
+
+
+def test_curvature_channel_semantics():
+    """R = K1, G = K2, B = 0; convex (positive) encodes bright > 0.5
+    (map_to_color 'principal', create_curvature_images.py:201-222)."""
+    col = curvature_colors(np.asarray([10.0]), np.asarray([-10.0]), 0.03)
+    assert col[0, 0] > 0.5 > col[0, 1]            # K1 bright, K2 dark
+    assert col[0, 2] == 0
+    # convex sphere bakes bright in both channels
+    baked = bake_curvature_colors(uv_sphere(radius=0.2, n_lat=24, n_lon=48),
+                                  rings=2)
+    c = np.asarray(baked.vertex_colors)
+    interior = np.abs(np.asarray(baked.vertices)[:, 2]) < 0.18
+    assert np.median(c[interior, 0]) > 0.5
+    assert np.median(c[interior, 1]) > 0.5
 
 
 def test_curvature_color_map():
