@@ -65,29 +65,38 @@ def test_edge_occlusion_exact(assets, pv):
     assert np.abs(ours.astype(float) - ref.astype(float)).mean() / 65535 < 1e-4
 
 
+# Per-view FOV recovered by maximizing agreement between depth-derived
+# normals and the published normal images (alignment cos > 0.97 at the
+# optimum; the demo samples FOV per view and does not publish it).
+_KP3D_FOV = {"0_view_3": 2.02, "12_view_1": 1.25, "27_view_0": 1.37}
+
+
 @pytest.mark.parametrize("pv", ["0_view_3", "12_view_1", "27_view_0"])
-def test_keypoints3d_structurally_similar(assets, pv):
-    """Our NARF-style interest image is a reimplementation, not a PCL port —
-    require structural similarity rather than parity: positive correlation
-    and interest-mass concentration (our top-10% response region must
-    capture >=2.5x the reference interest mass a random 10% region would).
-    Measured on these views: corr 0.26-0.47, mass 0.33-0.47.
-    The demo generated these with DEPTH_ZBUFFER_MAX_DISTANCE_METERS=8 and
-    KEYPOINT_SUPPORT_SIZE=0.3 (run-demo.sh); per-view FOV is unpublished,
-    so a representative 1.0 rad is used."""
+def test_keypoints3d_golden(assets, pv):
+    """Multi-scale NARF interest vs the published hm3d labels.
+
+    Reproduces the reference's EXACT configuration, including its settings
+    quirk: run-demo.sh renders depth with DEPTH_ZBUFFER_MAX_DISTANCE_METERS=8
+    but the keypoints3d job (run-demo.sh:32-33) only passes
+    KEYPOINT_SUPPORT_SIZE=0.3, so the NARF binary decodes the PNGs with the
+    DEFAULT sensitivity (128 m / 2^16, settings.py:86-89) — depths 16x larger
+    than true, making the effective support 0.3/16 m. Measured corr
+    0.60-0.68, top-10% interest-mass capture 0.63-0.87 per view (a random
+    10% region would capture 0.1)."""
     from omnidata_tpu.cues import keypoints3d_from_depth_code
 
     base = assets / "hm3d"
     d = _png(base / f"point_{pv}_domain_depth_zbuffer.png").astype(np.uint16)
     ref = _png(base / f"point_{pv}_domain_keypoints3d.png").astype(np.float64)
-    ours = keypoints3d_from_depth_code(d[::2, ::2], fov_rads=1.0, resolution=256,
-                                       support_size=0.3, max_meters=8.0)
-    ref_small = ref[::2, ::2]
-    corr = np.corrcoef(ours.ravel().astype(float), ref_small.ravel())[0, 1]
-    assert corr > 0.2, corr
+    ours = keypoints3d_from_depth_code(
+        d, fov_rads=_KP3D_FOV[pv], resolution=512,
+        support_size=0.3, max_meters=128.0,  # the reference's default decode
+    )
+    corr = np.corrcoef(ours.ravel().astype(float), ref.ravel())[0, 1]
+    assert corr > 0.55, corr
     top10 = ours >= np.percentile(ours, 90)
-    mass = ref_small[top10].sum() / max(ref_small.sum(), 1)
-    assert mass > 0.25, mass
+    mass = ref[top10].sum() / max(ref.sum(), 1)
+    assert mass > 0.5, mass
 
 
 def _adjusted_rand(a, b):
