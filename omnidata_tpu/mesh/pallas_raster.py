@@ -448,6 +448,12 @@ def raster_tiles_pallas_streamed(
     T = dir_planes[0].shape[0]
     P = dir_planes[0].shape[1]
     COLS = pack.shape[0]
+    # HBM->VMEM chunk DMAs require the sublane (COLS) extent aligned to the
+    # f32 tile height of 8; pad with zero rows (winner decode slices back)
+    pad_cols = (-COLS) % 8
+    if pad_cols:
+        pack = jnp.pad(pack, ((0, pad_cols), (0, 0)))
+        COLS += pad_cols
     Fp = pack.shape[1]
     n_chunks_total = Fp // chunk
     assert chunk <= (1 << _LANE_BITS), chunk
@@ -499,4 +505,6 @@ def raster_tiles_pallas_streamed(
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
       pack3, *dir3)
 
+    if pad_cols:
+        acc = acc[:, : COLS - pad_cols]
     return _decode_winners(packed, acc, origins, dir_planes, tiles_per_view)
