@@ -19,6 +19,7 @@ from .multitask import (
     HRNetLite,
     grad_norm_weights,
 )
+from .hrnet import HRNet, convert_hrnet
 from .attention_blocks import ECA, ChannelAttention, CBAM
 from .midas_net import MidasNetSmall
 from .midas_full import MidasNet, MidasNetSmallTF, ResNeXt101Backbone, EfficientNetLite3Backbone

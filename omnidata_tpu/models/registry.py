@@ -160,8 +160,36 @@ def midas_v21_small(checkpoint: str | None = None, image_size: int = 256) -> Mod
     return ModelBundle(module, variables, apply)
 
 
+def hrnet(variant: str = "w18", out_channels: int = 21,
+          checkpoint: str | None = None, image_size: int = 129) -> ModelBundle:
+    """Segmentation HRNet (paper_code/models/seg_hrnet.py get_configured_hrnet
+    role); converts torch seg_hrnet checkpoints via convert_hrnet. Input
+    spatial size must satisfy (s - 1) % 8 == 0 (the reference's assert)."""
+    from .hrnet import HRNet, convert_hrnet
+
+    module = HRNet(out_channels=out_channels, variant=variant)
+    if checkpoint:
+        variables = jax.tree.map(
+            jnp.asarray, convert_hrnet(_load_torch(checkpoint), variant)
+        )
+    else:
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+        )
+
+    @jax.jit
+    def apply(variables, x_nchw):
+        y = module.apply(variables, _nchw_to_nhwc(x_nchw))
+        return jnp.transpose(y, (0, 3, 1, 2))
+
+    return ModelBundle(module, variables, apply)
+
+
 MODELS = {
     "dpt_hybrid_384": dpt_hybrid_384,
+    "hrnet_w18": lambda **kw: hrnet("w18", **kw),
+    "hrnet_w32": lambda **kw: hrnet("w32", **kw),
+    "hrnet_w48": lambda **kw: hrnet("w48", **kw),
     "midas_v21": midas_v21,
     "midas_v21_small": midas_v21_small,
     "depth_dpt_hybrid_384": depth_dpt_hybrid_384,
