@@ -255,7 +255,7 @@ def _gather_attrs(mesh, curvature_mesh, modalities):
 @partial(
     jax.jit,
     static_argnames=("tile", "cap", "chunk", "modalities", "interpret",
-                     "keypoint_blur_sigma"),
+                     "keypoint_blur_sigma", "ccap", "streamed"),
 )
 def annotate_views(
     cameras: Camera,
@@ -267,6 +267,8 @@ def annotate_views(
     modalities: tuple = DEVICE_MODALITIES,
     interpret: bool = False,
     keypoint_blur_sigma: float = 0.0,
+    ccap: int | None = None,
+    streamed: bool = False,
 ) -> dict[str, jax.Array]:
     """Batched annotation: K cameras -> all modalities as (K, H, W, ...)
     arrays in ONE jitted program.
@@ -284,10 +286,12 @@ def annotate_views(
     vertex_attrs, attr_slices = _gather_attrs(mesh, curvature_mesh, modalities)
     if vertex_attrs is not None:
         frag, attr_img = render_views_fused(
-            cameras, mesh, tile, cap, chunk, interpret, vertex_attrs
+            cameras, mesh, tile, cap, chunk, interpret, vertex_attrs,
+            ccap=ccap, streamed=streamed,
         )
     else:
-        frag = render_views_fused(cameras, mesh, tile, cap, chunk, interpret)
+        frag = render_views_fused(cameras, mesh, tile, cap, chunk, interpret,
+                                  ccap=ccap, streamed=streamed)
         attr_img = None
 
     out: dict[str, Any] = {}

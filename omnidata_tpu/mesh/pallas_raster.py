@@ -448,6 +448,8 @@ def raster_tiles_pallas_streamed(
     T = dir_planes[0].shape[0]
     P = dir_planes[0].shape[1]
     COLS = pack.shape[0]
+    assert (COLS - 10) % 3 == 0
+    n_attr = (COLS - 10) // 3
     # HBM->VMEM chunk DMAs require the sublane (COLS) extent aligned to the
     # f32 tile height of 8; pad with zero rows (winner decode slices back)
     pad_cols = (-COLS) % 8
@@ -457,8 +459,6 @@ def raster_tiles_pallas_streamed(
     Fp = pack.shape[1]
     n_chunks_total = Fp // chunk
     assert chunk <= (1 << _LANE_BITS), chunk
-    assert (COLS - 10) % 3 == 0
-    n_attr = (COLS - 10) // 3
     pblk = min(pblk, P)  # small tiles: one pixel block
     origins = origin.reshape(-1, 3)
 
@@ -501,6 +501,10 @@ def raster_tiles_pallas_streamed(
             jax.ShapeDtypeStruct((T, COLS, P), jnp.float32),
         ),
         grid_spec=grid_spec,
+        # wide attr packs blow Mosaic's default 16M scoped-vmem stack (the
+        # chunk-outer body keeps every pixel block's temporaries live)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
       pack3, *dir3)
