@@ -39,8 +39,11 @@ def resize_bilinear(x: jax.Array, out_hw: tuple, align_corners: bool = False) ->
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out):
         return x
-    Ah = jnp.asarray(_interp_matrix(h_out, h_in, align_corners))
-    Aw = jnp.asarray(_interp_matrix(w_out, w_in, align_corners))
+    # interp matrices in the activation dtype: f32 matrices would promote a
+    # bf16 decoder to f32 matmuls (bf16 holds the 2-3 significant digits of
+    # bilinear weights; the f32 path is untouched)
+    Ah = jnp.asarray(_interp_matrix(h_out, h_in, align_corners), x.dtype)
+    Aw = jnp.asarray(_interp_matrix(w_out, w_in, align_corners), x.dtype)
     x = jnp.einsum("oh,...hwc->...owc", Ah, x)
     x = jnp.einsum("ow,...hwc->...hoc", Aw, x)
     return x
@@ -74,12 +77,13 @@ class StdConv(nn.Module):
             nn.initializers.lecun_normal(),
             (kh, kw, in_ch, self.features),
         )
-        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
-        w = (w - mean) / jnp.sqrt(var + 1e-6)
-        # mixed-precision inference stores kernels in bf16 while norm layers
-        # re-promote activations to f32; lax.conv needs matching dtypes
-        x, w = nn.dtypes.promote_dtype(x, w)
+        # standardize in f32 (bf16 mean/var over the kernel is too coarse),
+        # then run the conv in the ACTIVATION dtype so bf16 inference hits
+        # the MXU at bf16 throughput instead of promoting to f32
+        w32 = w.astype(jnp.float32)
+        mean = jnp.mean(w32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(w32, axis=(0, 1, 2), keepdims=True)
+        w = ((w32 - mean) / jnp.sqrt(var + 1e-6)).astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             w,
@@ -101,7 +105,10 @@ class GroupNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        # f32 norm island (params stay f32 under the bf16 cast), output cast
+        # back down so downstream matmuls keep the activation dtype
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="gn")(x).astype(x.dtype)
         return nn.relu(x) if self.act else x
 
 
@@ -131,7 +138,9 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,d)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(head_dim)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 (standard mixed-precision practice), back to the
+        # activation dtype for the value matmul
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(self.dim, name="proj")(y)
 
@@ -145,8 +154,10 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        # LayerNorms are f32 islands (f32 params promote the stats); cast
+        # back down so the qkv/mlp matmuls stay in the activation dtype
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x).astype(x.dtype)
         x = x + Attention(self.dim, self.num_heads, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x).astype(x.dtype)
         x = x + Mlp(self.dim * self.mlp_ratio, self.dim, name="mlp")(y)
         return x
