@@ -346,10 +346,11 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
 
     def copy_op(i, buf):
         ci = chunk_of(i)
+        # pack is chunk-major (NC, COLS, chunk): one CONTIGUOUS ~20KB burst
+        # per chunk — the (COLS, Fp) layout made every DMA a COLS-row
+        # strided gather (512B rows, MB strides) costing ~40us/chunk
         return pltpu.make_async_copy(
-            pack_hbm.at[0, :, pl.ds(ci * chunk, chunk)],
-            pack_buf.at[buf],
-            sem.at[buf],
+            pack_hbm.at[ci], pack_buf.at[buf], sem.at[buf],
         )
 
     @pl.when(trip > 0)
@@ -463,7 +464,8 @@ def raster_tiles_pallas_streamed(
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
-    pack3 = pack.reshape(1, COLS, Fp)
+    # chunk-major: (NC, COLS, chunk) so each chunk is one contiguous block
+    pack3 = pack.reshape(COLS, n_chunks_total, chunk).transpose(1, 0, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
