@@ -134,9 +134,24 @@ def sample_cameras(n: int, seed: int = 1, resolution: int = 512):
     ]
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (tmp/xla_cache, shared with the test
+    suite): the K=32 batched annotator program takes ~10 min of host XLA
+    compile; cached reruns skip it."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tmp", "xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from omnidata_tpu.annotator import annotate_view, annotate_views
     from omnidata_tpu.core import Camera
@@ -331,20 +346,43 @@ def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
 
     from omnidata_tpu.models.registry import dpt_hybrid_384
 
+    import jax
+
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, 3, 384, 384), jnp.float32
     )
-    out = {}
+    # MXU peak per chip by device kind (bf16 TFLOP/s; f32 is half rate on MXU)
+    peaks = {"v5e": 197.0, "v5lite": 197.0, "v5p": 459.0, "v4": 275.0,
+             "v6e": 918.0, "v6": 918.0}
+    kind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    peak_bf16 = next((v for k, v in peaks.items() if k in kind), None)
+    out = {"dpt384_device_kind": jax.devices()[0].device_kind}
     for dt in ("float32", "bfloat16"):
         mb = dpt_hybrid_384(num_channels=1, dtype=dt)
-        float(jnp.sum(mb.apply(mb.variables, x)))  # compile + warm
+        fwd = jax.jit(lambda v, xx: mb.apply(v, xx))
+        try:
+            cost = fwd.lower(mb.variables, x).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+        float(jnp.sum(fwd(mb.variables, x)))  # compile + warm
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.float32)
         for _ in range(n_iters):
-            acc = acc + jnp.sum(mb.apply(mb.variables, x))
+            acc = acc + jnp.sum(fwd(mb.variables, x))
         _ = float(acc)
         sec = time.perf_counter() - t0
-        out[f"dpt384_{dt}_img_per_s"] = round(batch * n_iters / sec, 1)
+        ips = batch * n_iters / sec
+        out[f"dpt384_{dt}_img_per_s"] = round(ips, 1)
+        if flops:
+            tflops = flops * n_iters / sec / 1e12
+            out[f"dpt384_{dt}_tflops"] = round(tflops, 1)
+            peak = peak_bf16 if peak_bf16 is None or dt == "bfloat16" \
+                else peak_bf16 / 2.0
+            if peak:
+                out[f"dpt384_{dt}_mfu"] = round(tflops / peak, 3)
     return out
 
 

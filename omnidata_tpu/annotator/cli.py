@@ -158,14 +158,10 @@ def run_points(model_path: str, settings) -> None:
         cams = sample_camera_locations_building(
             mesh, rng,
             min_spacing=spacing,
+            min_height=settings.MIN_CAMERA_HEIGHT,
+            max_height=settings.MAX_CAMERA_HEIGHT,
             min_clearance=settings.MIN_CAMERA_DISTANCE_TO_MESH,
         )
-        if settings.MIN_CAMERA_HEIGHT or settings.MAX_CAMERA_HEIGHT:
-            lo = settings.MIN_CAMERA_HEIGHT or -np.inf
-            hi = settings.MAX_CAMERA_HEIGHT or np.inf
-            floor_z = float(np.asarray(mesh.vertices)[:, 2].min())
-            h = cams[:, 2] - floor_z
-            cams = cams[(h >= lo) & (h <= hi)]
     else:
         cams = sample_camera_locations_object(mesh, rng, max(settings.NUM_POINTS, 16),
                                               settings.SPHERE_SCALING_FACTOR)

@@ -29,7 +29,8 @@ class Settings:
 
     # ---- camera sampling (settings.py:52-67, 143-144) ----
     MIN_CAMERA_SPACING: float = 1.0
-    MIN_CAMERA_HEIGHT: float = 1.0
+    MIN_CAMERA_HEIGHT: float = 0.2  # above floor, meters (settings.py:56)
+    MAX_CAMERA_HEIGHT: float = 2.0  # above floor, meters (settings.py:57)
     MAX_CAMERA_ROLL: float = 3.0  # degrees
     MIN_CAMERA_DISTANCE_TO_MESH: float = 0.3
     FIELD_OF_VIEW_MIN_RADS: float = 0.5235987755982988   # 30 deg
@@ -53,8 +54,6 @@ class Settings:
     GENERATE_CAMERAS: bool = True  # False: reuse camera_poses.json
     CAMERA_POSE_FILE: str = "camera_poses.json"
     NUM_CAMERAS: int = 0           # cap sampled cameras (0 = no cap)
-    MIN_CAMERA_HEIGHT: float = 0.0   # clamp camera z above floor
-    MAX_CAMERA_HEIGHT: float = 0.0   # 0 = unclamped
     MIN_CAMERA_DISTANCE: float = 0.0  # min spacing between cameras (alias
     # for MIN_CAMERA_SPACING when set)
     STOP_VIEW_NUMBER: int = -1     # render at most N+1 views per point

@@ -419,13 +419,17 @@ def render_views_fused(
         raster_tiles_pallas_streamed,
     )
 
-    # VMEM ceiling: the kernel keeps the full scene pack + SoA planes
-    # resident (13 + COLS planes x Fp x 4B). Past ~8 MB of pack the program
-    # doesn't fit v5e VMEM; fall back to the (slower, capacity-knobbed) XLA
-    # path so huge scans still render. A streamed-pack kernel (per-chunk
-    # HBM->VMEM DMA) is the eventual fix for production-scale meshes.
+    # VMEM ceiling: the chunk-list kernel keeps the full scene pack + SoA
+    # planes resident (13 + COLS planes x Fp x 4B). Past ~8 MB of pack the
+    # program doesn't fit v5e VMEM. On TPU, big scans auto-route to the
+    # HBM-streamed kernel (per-chunk DMA, no mesh-size cap); on CPU (where
+    # Mosaic DMA programs only run in interpret mode) they fall back to the
+    # capacity-knobbed XLA path so huge scans still render everywhere.
     n_attr_ch = 0 if vertex_attrs is None else vertex_attrs.shape[1]
     pack_bytes = mesh.faces.shape[0] * (10 + 3 * n_attr_ch + 13) * 4
+    if pack_bytes > 8 * 1024 * 1024 and not streamed and not interpret:
+        if jax.default_backend() == "tpu":
+            streamed = True
     if pack_bytes > 8 * 1024 * 1024 and not streamed:
         frag = render_views(cameras, mesh, tile, max(cap, 4096), chunk)
         if vertex_attrs is None:

@@ -93,8 +93,8 @@ def sample_camera_locations_building(
     mesh,
     rng: np.random.RandomState,
     min_spacing: float = 1.0,
-    camera_height: float = 1.25,
-    height_jitter: float = 0.25,
+    min_height: float = 0.2,
+    max_height: float = 2.0,
     min_clearance: float = 0.3,
     max_cameras: int | None = None,
 ) -> np.ndarray:
@@ -114,7 +114,9 @@ def sample_camera_locations_building(
     cands = []
     for fz in floors:
         pts2d = poisson_disc_2d(rng, lo, hi, min_spacing)
-        z = fz + camera_height + rng.uniform(-height_jitter, height_jitter, len(pts2d))
+        # per-floor height band (generate_camera_poses.py:203: z uniform in
+        # [floor + MIN_CAMERA_HEIGHT, floor + MAX_CAMERA_HEIGHT])
+        z = fz + rng.uniform(min_height, max_height, len(pts2d))
         cands.append(np.concatenate([pts2d, z[:, None]], -1))
     cand = np.concatenate(cands).astype(np.float32)
 
