@@ -218,6 +218,40 @@ def _ncut_value(Wm, mask):
     return cut / assoc_a + cut / assoc_b
 
 
+def _ncut_sweep(Wm, fiedler, ts):
+    """NCut values for every threshold mask (fiedler > t) at once, O(E + K).
+
+    Equivalent to [_ncut_value(Wm, fiedler > t) for t in ts] (same cut /
+    assoc definitions: assoc includes self-loops and both edge directions,
+    cut counts each undirected crossing edge once) but sweeps the sorted
+    edge list with difference arrays instead of slicing the sparse matrix
+    per threshold — at 512^2 / num_cuts=100 this is the difference between
+    ~18 s and ~0.1 s per image."""
+    K = len(ts)
+    # level_i = #{k : ts[k] < fiedler[i]}  =>  (fiedler[i] > ts[k]) == (level_i > k)
+    level = np.searchsorted(ts, fiedler, side="left")
+    d = np.asarray(Wm.sum(1)).ravel()
+    cnt = np.bincount(level, minlength=K + 1).astype(np.int64)
+    deg = np.bincount(level, weights=d, minlength=K + 1)
+    n_a = len(fiedler) - np.cumsum(cnt)[:K]          # |A| per threshold
+    assoc_a = d.sum() - np.cumsum(deg)[:K]           # sum of degrees in A
+    assoc_b = d.sum() - assoc_a
+    coo = sp.triu(Wm, k=1).tocoo()                   # each undirected edge once
+    li = level[coo.row]
+    lj = level[coo.col]
+    lo = np.minimum(li, lj)
+    hi = np.maximum(li, lj)
+    diff = np.zeros(K + 1)
+    cross = lo < hi                                  # edge crosses for k in [lo, hi)
+    np.add.at(diff, lo[cross], coo.data[cross])
+    np.add.at(diff, hi[cross], -coo.data[cross])
+    cut = np.cumsum(diff)[:K]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = cut / assoc_a + cut / assoc_b
+    vals[(n_a == 0) | (n_a == len(fiedler)) | (assoc_a == 0) | (assoc_b == 0)] = np.inf
+    return vals
+
+
 def _two_way_ncut(Wm, thresh, num_cuts, rng):
     """One recursive step of skimage's graph.cut_normalized: Fiedler vector of
     the normalized Laplacian via shift-invert eigsh (sigma=0, 'LM' — the 'SM'
@@ -239,6 +273,9 @@ def _two_way_ncut(Wm, thresh, num_cuts, rng):
 
         vals, vecs = sla.eigh(A.toarray())
     else:
+        # k=2 would suffice mathematically but ARPACK shift-invert fails to
+        # converge (or crawls) at tiny k on these near-disconnected RAGs;
+        # the wide subspace is what makes it reliable
         k = min(100, n - 2)
         try:
             # shift slightly negative: A >= 0 so A + eps*I is never singular
@@ -256,17 +293,12 @@ def _two_way_ncut(Wm, thresh, num_cuts, rng):
     lo, hi = fiedler.min(), fiedler.max()
     if hi - lo < 1e-12:
         return None
-    best = (np.inf, None)
-    for t in np.linspace(lo, hi, num_cuts, endpoint=False):
-        mask = fiedler > t
-        if mask.all() or (~mask).all():
-            continue
-        v = _ncut_value(Wm, mask)
-        if v < best[0]:
-            best = (v, mask)
-    if best[1] is None or not (best[0] < thresh):
+    ts = np.linspace(lo, hi, num_cuts, endpoint=False)
+    vals = _ncut_sweep(Wm, fiedler, ts)
+    bi = int(np.argmin(vals))
+    if not (vals[bi] < thresh):
         return None
-    return best[1]
+    return fiedler > ts[bi]
 
 
 def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
@@ -327,16 +359,25 @@ def segment_25d(
     """segment_unsup25d (create_segmentation_25d_images.py:47-120): 5-channel
     [w_d*log(depth)/16, w_n*smoothed normal, w_e*edge] -> felz(min_size=200)
     -> similarity RAG -> ncut."""
-    from .edges import smooth_with_mask
-    import jax.numpy as jnp
-
     depth = np.asarray(depth_code_u16, np.float64)
     mask = depth < 2**16 - 2
     img_depth = np.log(np.maximum(depth, 1.0)) / 16.0
     img_normal = np.asarray(normal_rgb, np.float64) / 255.0
     img_edge = np.asarray(edge_occlusion_u16, np.float64) / 255.0 / 255.0
 
-    sm = lambda x, s: np.asarray(smooth_with_mask(jnp.asarray(x), jnp.asarray(mask), s))
+    # pure-host masked smoothing (same math as cues.edges.smooth_with_mask,
+    # whose gaussian matches ndi.gaussian_filter(mode='constant')): host cues
+    # must never dispatch to the device — on a tunneled TPU a worker-thread
+    # jax call serializes with the render pipeline and collapses throughput
+    mf = mask.astype(np.float64)
+    _bleed = {}
+
+    def sm(x, s):
+        if s not in _bleed:
+            _bleed[s] = ndi.gaussian_filter(mf, s, mode="constant") \
+                + np.finfo(np.float32).eps
+        smx = ndi.gaussian_filter(x * mf, s, mode="constant")
+        return smx / _bleed[s]
     img_normal = np.stack([sm(img_normal[..., c], 2.0) for c in range(3)], -1)
     img_depth = sm(img_depth, 1.0)
 
