@@ -272,15 +272,18 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
     (keypoints3d / segment_unsup2d / segment_unsup25d) computed on a worker
     pool from the in-flight device outputs — the same overlap the CLI's
     `--task all` uses; apples-to-apples with the reference's 12-modality
-    demo timing (omnidata_annotator/README.md:55)."""
-    from concurrent.futures import ThreadPoolExecutor
+    demo timing (omnidata_annotator/README.md:55).
+
+    The host cues are CPU-bound (~1-3 s/view on one core), so this number
+    scales with host cores: a process pool is used when >1 CPU is present
+    (numpy/scipy segments of segment_2d/25d hold the GIL); full13_host_cpus
+    records the denominator."""
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
     import jax
     import jax.numpy as jnp
 
     from omnidata_tpu.annotator import annotate_views
-    from omnidata_tpu.cues.keypoints3d import keypoints3d_from_depth_code
-    from omnidata_tpu.cues.segmentation import segment_2d, segment_25d
 
     K = len(cams)
     batches = [
@@ -289,21 +292,25 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
     ]
     fovs = [float(np.asarray(c.fov)) for c in cams]
 
-    def host_cues(arrs, fov):
-        keypoints3d_from_depth_code(
-            arrs["depth_zbuffer"], fov, res, support_size=0.3, max_meters=128.0
-        )
-        segment_2d(arrs["rgb"], scale=500.0, blur=3.0, cut_thresh=0.005,
-                   self_edge_weight=2.0)
-        segment_25d(arrs["depth_zbuffer"], arrs["normal"],
-                    arrs["edge_occlusion"])
+    ncpu = os.cpu_count() or 1
+    if ncpu > 1:
+        # spawn (not fork): forking a process that holds the live TPU
+        # client wedges libtpu in the child; the initializer pins children
+        # to the CPU backend so they never touch the chip
+        import multiprocessing as mp
+
+        pool = ProcessPoolExecutor(
+            max_workers=min(16, ncpu), mp_context=mp.get_context("spawn"),
+            initializer=_host_cue_worker_init)
+    else:
+        pool = ThreadPoolExecutor(max_workers=2)
 
     out = annotate_views(batches[0], mesh, curv, **kw)  # compile + warm
     float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
     needed = ("depth_zbuffer", "rgb", "normal", "edge_occlusion")
     t0 = time.perf_counter()
     futures = []
-    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4)) as pool:
+    with pool:
         prev = None
         for b in batches:
             out = annotate_views(b, mesh, curv, **kw)
@@ -311,17 +318,39 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
                 out_np = jax.device_get({t: prev[t] for t in needed})
                 for vi in range(K):
                     futures.append(pool.submit(
-                        host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi]
+                        _host_cues, {t: out_np[t][vi] for t in needed},
+                        fovs[vi], res,
                     ))
             prev = out
         out_np = jax.device_get({t: prev[t] for t in needed})
         for vi in range(K):
             futures.append(pool.submit(
-                host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi]))
+                _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi],
+                res))
         for f in futures:
             f.result()
     dt = time.perf_counter() - t0
-    return {"full13_vps": round(n_batches * K / dt, 2)}
+    return {"full13_vps": round(n_batches * K / dt, 2),
+            "full13_host_cpus": ncpu}
+
+
+def _host_cue_worker_init():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _host_cues(arrs, fov, res):
+    """The 3 host-side cues for one view (module-level: picklable for the
+    full13 process pool)."""
+    from omnidata_tpu.cues.keypoints3d import keypoints3d_from_depth_code
+    from omnidata_tpu.cues.segmentation import segment_2d, segment_25d
+
+    keypoints3d_from_depth_code(
+        arrs["depth_zbuffer"], fov, res, support_size=0.3, max_meters=128.0
+    )
+    segment_2d(arrs["rgb"], scale=500.0, blur=3.0, cut_thresh=0.005,
+               self_edge_weight=2.0)
+    segment_25d(arrs["depth_zbuffer"], arrs["normal"],
+                arrs["edge_occlusion"])
 
 
 def _camera_batch(cams, idx, res):

@@ -317,10 +317,8 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=8)
-    host_pool = (
-        ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
-        if host_tasks else None
-    )
+    host_pool = _make_host_cue_pool() if host_tasks else None
+    host_kv = _host_cue_settings_kv(settings) if host_tasks else None
     pending: list = []
 
     def write_outputs(view, arrs):
@@ -340,9 +338,11 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                 )
                 pending.append(io_pool.submit(save_png, path, arrs[t]))
         if host_pool is not None:
+            cue_in = {t: np.asarray(arrs[t])
+                      for t in _HOST_CUE_INPUTS if t in arrs}
             pending.append(host_pool.submit(
-                host_cues_for_view, model_path, view, host_tasks, settings,
-                arrs.__getitem__,
+                _host_cue_job, model_path, view, tuple(host_tasks), host_kv,
+                cue_in,
             ))
 
     import jax
@@ -479,6 +479,76 @@ def run_pano(model_path: str, settings) -> None:
 HOST_CUE_TASKS = ("keypoints3d", "segment_unsup2d", "segment_unsup25d")
 
 
+# inputs a host-cue worker may need from the device batch
+_HOST_CUE_INPUTS = ("depth_zbuffer", "rgb", "normal", "edge_occlusion")
+# the only settings host_cues_for_view reads (kept as a plain dict so jobs
+# pickle into spawn'd worker processes; the settings object is a module)
+_HOST_CUE_SETTING_KEYS = (
+    "PREFERRED_IMG_EXT", "RESOLUTION", "KEYPOINT_SUPPORT_SIZE",
+    "DEPTH_ZBUFFER_MAX_DISTANCE_METERS",
+    "SEGMENTATION_2D_SCALE", "SEGMENTATION_2D_BLUR",
+    "SEGMENTATION_2D_CUT_THRESH", "SEGMENTATION_2D_SELF_EDGE_WEIGHT",
+    "SEGMENTATION_25D_DEPTH_WEIGHT", "SEGMENTATION_25D_NORMAL_WEIGHT",
+    "SEGMENTATION_25D_EDGE_WEIGHT", "SEGMENTATION_25D_SCALE",
+    "SEGMENTATION_25D_CUT_THRESH", "SEGMENTATION_25D_SELF_EDGE_WEIGHT",
+)
+
+
+def _host_cue_settings_kv(settings) -> dict:
+    return {k: getattr(settings, k) for k in _HOST_CUE_SETTING_KEYS}
+
+
+def _cpu_worker_init():
+    # workers never touch the accelerator (the parent holds the TPU client)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _make_host_cue_pool():
+    """Worker pool for the CPU-bound host cues: a spawn'd process pool when
+    cores are available (felzenszwalb/ncut hold the GIL in their
+    numpy/scipy glue), threads on a single-core host (no parallelism to
+    win; skips ~2 s/worker of spawn+import)."""
+    ncpu = os.cpu_count() or 1
+    if ncpu > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        return ProcessPoolExecutor(
+            max_workers=min(16, ncpu),
+            mp_context=mp.get_context("spawn"),
+            initializer=_cpu_worker_init,
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=2)
+
+
+def _host_cue_job(model_path, view, tasks, settings_kv, arrs) -> None:
+    """Process-pool entry: host cues for one view from in-memory arrays."""
+    from types import SimpleNamespace
+
+    host_cues_for_view(model_path, view, tasks,
+                       SimpleNamespace(**settings_kv), arrs.__getitem__)
+
+
+def _host_cue_disk_job(model_path, view, tasks, settings_kv) -> None:
+    """Process-pool entry: host cues for one view, inputs read from disk
+    (the standalone `--task keypoints3d/segment_*` pass)."""
+    from types import SimpleNamespace
+
+    from ..cues.encode import load_png
+    from ..sampling import file_name_for
+
+    s = SimpleNamespace(**settings_kv)
+    p, v = view["point_uuid"], view["view_id"]
+
+    def get(task):
+        return load_png(file_name_for(
+            os.path.join(model_path, task), p, v, task, s.PREFERRED_IMG_EXT))
+
+    host_cues_for_view(model_path, view, tasks, s, get)
+
+
 def host_cues_for_view(model_path: str, view: dict, tasks, settings, get) -> None:
     """Compute + write the per-view host cues (keypoints3d / segment_2d /
     segment_25d). `get(task)` returns the task's decoded image array — from
@@ -530,11 +600,8 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get) -> Non
 
 
 def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..cues.encode import load_png
     from ..cues.vanishing import vanishing_points
-    from ..sampling import file_name_for, load_point_info, save_point_info
+    from ..sampling import load_point_info, save_point_info
 
     infos = load_point_info(model_path)
     for t in tasks:
@@ -543,22 +610,15 @@ def run_host_tasks(model_path: str, tasks: list[str], settings) -> None:
 
     cue_tasks = [t for t in tasks if t in HOST_CUE_TASKS]
     if cue_tasks:
-        # parallel over views (the reference's multiprocessing.Pool;
-        # segmentation's native core + PNG IO release the GIL)
-        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4)) as pool:
-            futures = []
-            for views in infos:
-                for view in views:
-                    p, v = view["point_uuid"], view["view_id"]
-
-                    def get(task, p=p, v=v):
-                        return load_png(file_name_for(
-                            os.path.join(model_path, task), p, v, task,
-                            settings.PREFERRED_IMG_EXT))
-
-                    futures.append(pool.submit(
-                        host_cues_for_view, model_path, view, cue_tasks,
-                        settings, get))
+        # parallel over views (the reference's multiprocessing.Pool,
+        # create_images_nonblender_utils.py:39-67)
+        kv = _host_cue_settings_kv(settings)
+        with _make_host_cue_pool() as pool:
+            futures = [
+                pool.submit(_host_cue_disk_job, model_path, view,
+                            tuple(cue_tasks), kv)
+                for views in infos for view in views
+            ]
             for f in futures:
                 f.result()
 

@@ -301,6 +301,272 @@ def raster_tiles_pallas_chunklist(
 
 
 # ---------------------------------------------------------------------------
+# compacting kernel: per-tile face compaction -> dense sweep
+# ---------------------------------------------------------------------------
+#
+# The chunk-list kernel sweeps every face of every admitted chunk against
+# every pixel of the tile, but only ~7-25% of those candidate slots hold a
+# face whose own screen bbox overlaps the tile (the rest ride along because
+# a Morton chunk is 128 faces wide). Since the sweep is VMEM-bandwidth-bound
+# on its (pblk, chunk) temporaries, work scales linearly with swept chunks —
+# so compact first, sweep dense:
+#
+#   pass 1 (per admitted chunk, cheap): test the chunk's 128 face bboxes
+#     (per-view tile-quantized, packed 4x u8 per int32 plane) against the
+#     tile; stream-compact the surviving faces' pack columns into a dense
+#     VMEM staging pack S via two MXU matmuls — an inclusive-count matmul
+#     against a lower-triangular ones matrix for the positions, and a
+#     (SC,128) one-hot contraction for the scatter. No per-lane control
+#     flow anywhere.
+#   pass 2: the usual Möller-Trumbore sweep, but over ceil(staged/128)
+#     DENSE chunks sliced from S.
+#
+# If a tile stages more than SC faces, pass 2 falls back to sweeping the
+# admitted chunk list directly (exactness over speed; the winner decode is
+# identical either way). Outputs double as accumulators so both passes are
+# plain pl.when-guarded ref updates.
+
+STAGE_CAP = 512  # dense staging faces per tile (4 sweep chunks)
+
+
+def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
+                         bbox_ref, dir_refs, packed_out, acc_out, s_ref, *,
+                         chunk: int, pblk: int, tiles_per_view: int,
+                         n1d: int, ccap: int, n_chunks_total: int,
+                         stage_cap: int):
+    t_idx = pl.program_id(0)
+    count = counts_ref[t_idx]
+    list_overflow = count < 0
+    trip = jnp.where(list_overflow, n_chunks_total, count)
+    COLS = pack_ref.shape[1]
+    P = dir_refs[0].shape[2]
+
+    view = t_idx // tiles_per_view
+    tiv = t_idx % tiles_per_view
+    ty = tiv // n1d
+    tx = tiv % n1d
+    ox = origins_ref[view, 0]
+    oy = origins_ref[view, 1]
+    oz = origins_ref[view, 2]
+
+    tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+    big_packed = _big_packed()
+
+    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
+    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
+    s_ref[:, :] = jnp.zeros((COLS, stage_cap), jnp.float32)
+
+    def chunk_of(i):
+        j = jnp.minimum(i, ccap - 1)
+        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
+        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
+        return jnp.where(list_overflow, i, ci16)
+
+    # ---- pass 1: stream-compact overlapping faces' pack columns into S ----
+    # positions via a lower-triangular inclusive-count matmul; scatter via a
+    # (SC, chunk) one-hot contraction — both MXU, no per-lane control flow
+    tri_lower = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    ).astype(jnp.float32)
+
+    def body1(i, base):
+        ci = chunk_of(i)
+        bb = bbox_ref[0, 0, pl.ds(ci * chunk, chunk)][None, :]  # (1,chunk)
+        lo_tx = bb & 0xFF
+        hi_tx = (bb >> 8) & 0xFF
+        lo_ty = (bb >> 16) & 0xFF
+        hi_ty = (bb >> 24) & 0xFF
+        m = (lo_tx <= tx) & (tx <= hi_tx) & (lo_ty <= ty) & (ty <= hi_ty)
+        mf = m.astype(jnp.float32)
+        pos = jax.lax.dot_general(
+            mf, tri_lower, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (1, chunk) inclusive hit counts (exact: <= 128)
+        slot = base + pos.astype(jnp.int32) - 1  # (1, chunk)
+        sciota = jax.lax.broadcasted_iota(
+            jnp.int32, (stage_cap, chunk), 0)
+        oh = (sciota == slot).astype(jnp.float32) * mf  # (SC, chunk)
+        a = pack_ref[0, :, pl.ds(ci * chunk, chunk)]  # (COLS, chunk)
+        contrib = jax.lax.dot_general(
+            a, oh, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (COLS, SC)
+        s_ref[:, :] = s_ref[:, :] + contrib
+        return base + jnp.sum(mf).astype(jnp.int32)
+
+    staged = jax.lax.fori_loop(0, trip, body1, jnp.int32(0))
+    fallback = staged > stage_cap  # S incomplete: sweep the raw list instead
+
+    # ---- pass 2: Möller-Trumbore sweep over dense (or fallback) chunks ----
+    def sweep_chunk(a):
+        """One chunk's pixel sweep; outputs are the accumulators."""
+        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
+        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
+        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        rx = e2y * tvz - e2z * tvy
+        ry = e2z * tvx - e2x * tvz
+        rz = e2x * tvy - e2y * tvx
+        e2q = e2x * qx + e2y * qy + e2z * qz
+
+        for pb in range(P // pblk):
+            pslice = slice(pb * pblk, (pb + 1) * pblk)
+            dx = dir_refs[0][0, 0, pslice][:, None]
+            dy = dir_refs[1][0, 0, pslice][:, None]
+            dz = dir_refs[2][0, 0, pslice][:, None]
+
+            det = -(dx * nx + dy * ny + dz * nz)
+            udet = dx * rx + dy * ry + dz * rz
+            vdet = dx * qx + dy * qy + dz * qz
+
+            adet = jnp.abs(det)
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            us = udet * sgn
+            vs = vdet * sgn
+            ts = e2q * sgn
+            hit = (
+                (adet >= _EPS)
+                & (us >= -_EDGE_EPS * adet)
+                & (vs >= -_EDGE_EPS * adet)
+                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
+                & (ts > _EPS * adet)
+            )
+            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+            packed = (ti & tie_mask) | lane
+            pj = jnp.min(packed, axis=1)
+            best = packed_out[0, 0, pslice]
+            improved = (pj & tie_mask) < (best & tie_mask)
+
+            win = (packed == pj[:, None]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                win, a, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (pblk, COLS)
+            acc_old = acc_out[0, :, pslice]
+            acc_out[0, :, pslice] = jnp.where(
+                improved[None, :], contrib.T, acc_old)
+            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+
+    @pl.when(jnp.logical_not(fallback))
+    def _dense():
+        trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
+
+        def body(i, c):
+            # zero-padded tail columns are degenerate (e1=e2=0 -> no hit)
+            sweep_chunk(s_ref[:, pl.ds(i * chunk, chunk)])
+            return c
+
+        jax.lax.fori_loop(0, trip2, body, 0)
+
+    @pl.when(fallback)
+    def _fb():
+        def body(i, c):
+            sweep_chunk(pack_ref[0, :, pl.ds(chunk_of(i) * chunk, chunk)])
+            return c
+
+        jax.lax.fori_loop(0, trip, body, 0)
+
+
+@partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
+                                   "tiles_per_view", "n1d", "ccap",
+                                   "stage_cap"))
+def raster_tiles_pallas_compact(
+    clist: jax.Array,         # (K*T*ceil(ccap/2),) int32 packed 16-bit pairs
+    counts: jax.Array,        # (K*T,) int32 (-1 = list overflow: scan all)
+    origin: jax.Array,        # (K,3)
+    pack: jax.Array,          # (COLS, Fp) f32 — VMEM-resident (geometry rides
+                              # rows 0-9, like the streamed kernel)
+    bbox_words: jax.Array,    # (K, Fp) int32: per-view per-face tile bboxes,
+                              # u8-packed lo_tx|hi_tx|lo_ty|hi_ty
+    dir_planes: tuple,        # 3x (K*T, P)
+    chunk: int = 128,
+    pblk: int = 512,
+    interpret: bool = False,
+    tiles_per_view: int = 64,
+    n1d: int = 8,
+    ccap: int = CHUNK_LIST_CAP,
+    stage_cap: int = STAGE_CAP,
+):
+    """Chunk-list contract, but with per-tile face compaction: the pixel
+    sweep runs over densely staged faces only (see module comment). Same
+    results/ties as raster_tiles_pallas_chunklist, bit for bit."""
+    T = dir_planes[0].shape[0]
+    P = dir_planes[0].shape[1]
+    COLS = pack.shape[0]
+    Fp = pack.shape[1]
+    n_chunks_total = Fp // chunk
+    assert chunk <= (1 << _LANE_BITS), chunk
+    assert (COLS - 10) % 3 == 0
+    assert stage_cap % chunk == 0
+    pblk = min(pblk, P)
+    origins = origin.reshape(-1, 3)
+
+    dir3 = [a.reshape(T, 1, P) for a in dir_planes]
+    pack3 = pack.reshape(1, COLS, Fp)
+    K = bbox_words.shape[0]
+    bbox3 = bbox_words.reshape(K, 1, Fp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # clist, counts, origins
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, COLS, Fp), lambda t, c, n, o: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(  # per-view bbox plane (revolves across views)
+                (1, 1, Fp),
+                lambda t, c, n, o: (t // tiles_per_view, 0, 0),
+                memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(3)],
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COLS, P), lambda t, c, n, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((COLS, stage_cap), jnp.float32),
+        ],
+    )
+
+    def kernel(clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
+               d0, d1, d2, packed_o, acc_o, s_ref):
+        _compact_tile_kernel(
+            clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
+            (d0, d1, d2), packed_o, acc_o, s_ref, chunk=chunk, pblk=pblk,
+            tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
+            n_chunks_total=n_chunks_total, stage_cap=stage_cap,
+        )
+
+    packed, acc = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((T, COLS, P), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
+      pack3, bbox3, *dir3)
+
+    return _decode_winners(packed, acc, origins, dir_planes, tiles_per_view)
+
+
+# ---------------------------------------------------------------------------
 # streamed-pack kernel: per-chunk HBM->VMEM DMA, no mesh-size VMEM cap
 # ---------------------------------------------------------------------------
 #
@@ -430,8 +696,197 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
     jax.lax.fori_loop(0, trip, body, 0)
 
 
+def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
+                                  pack_hbm, bbox_hbm, dir_refs, packed_out,
+                                  acc_out, pack_buf, bbox_buf, s_ref,
+                                  sem_p, sem_b, *, chunk: int, pblk: int,
+                                  tiles_per_view: int, n1d: int, ccap: int,
+                                  n_chunks_total: int, stage_cap: int):
+    """Streamed kernel with per-tile face compaction: pass 1 DMAs each
+    admitted chunk's pack slice + bbox block and stream-compacts the faces
+    whose tile-quantized bboxes overlap this tile into the dense VMEM
+    staging pack S; pass 2 sweeps ceil(staged/chunk) dense chunks from S
+    (no DMA). Tiles that stage more than stage_cap faces fall back to the
+    plain streamed sweep over the raw chunk list."""
+    t_idx = pl.program_id(0)
+    count = counts_ref[t_idx]
+    list_overflow = count < 0
+    trip = jnp.where(list_overflow, n_chunks_total, count)
+    COLS = pack_buf.shape[1]
+    P = dir_refs[0].shape[2]
+
+    view = t_idx // tiles_per_view
+    tiv = t_idx % tiles_per_view
+    ty = tiv // n1d
+    tx = tiv % n1d
+    ox = origins_ref[view, 0]
+    oy = origins_ref[view, 1]
+    oz = origins_ref[view, 2]
+
+    tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+    big_packed = _big_packed()
+
+    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
+    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
+    s_ref[:, :] = jnp.zeros((COLS, stage_cap), jnp.float32)
+
+    def chunk_of(i):
+        j = jnp.minimum(i, ccap - 1)
+        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
+        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
+        return jnp.where(list_overflow, i, ci16)
+
+    def copy_pack(i, buf):
+        return pltpu.make_async_copy(
+            pack_hbm.at[chunk_of(i)], pack_buf.at[buf], sem_p.at[buf])
+
+    def copy_bbox(i, buf):
+        # bbox blocks hold 8 consecutive chunks' words (aligned (8, chunk)
+        # DMA tiles); the kernel selects the ci%8 sublane after the copy
+        return pltpu.make_async_copy(
+            bbox_hbm.at[view, chunk_of(i) // 8], bbox_buf.at[buf],
+            sem_b.at[buf])
+
+    tri_lower = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    ).astype(jnp.float32)
+
+    @pl.when(trip > 0)
+    def _prologue():
+        copy_pack(0, 0).start()
+        copy_bbox(0, 0).start()
+
+    def body1(i, base):
+        buf = jax.lax.rem(i, 2)
+        copy_pack(i, buf).wait()
+        copy_bbox(i, buf).wait()
+
+        @pl.when(i + 1 < trip)
+        def _prefetch():
+            copy_pack(i + 1, jax.lax.rem(i + 1, 2)).start()
+            copy_bbox(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        ci = chunk_of(i)
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (8, chunk), 0) == jax.lax.rem(ci, 8)
+        bb = jnp.sum(jnp.where(sel, bbox_buf[buf], 0), axis=0,
+                     keepdims=True)  # (1, chunk)
+        lo_tx = bb & 0xFF
+        hi_tx = (bb >> 8) & 0xFF
+        lo_ty = (bb >> 16) & 0xFF
+        hi_ty = (bb >> 24) & 0xFF
+        m = (lo_tx <= tx) & (tx <= hi_tx) & (lo_ty <= ty) & (ty <= hi_ty)
+        mf = m.astype(jnp.float32)
+        pos = jax.lax.dot_general(
+            mf, tri_lower, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        slot = base + pos.astype(jnp.int32) - 1
+        sciota = jax.lax.broadcasted_iota(jnp.int32, (stage_cap, chunk), 0)
+        oh = (sciota == slot).astype(jnp.float32) * mf
+        contrib = jax.lax.dot_general(
+            pack_buf[buf], oh, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        s_ref[:, :] = s_ref[:, :] + contrib
+        return base + jnp.sum(mf).astype(jnp.int32)
+
+    staged = jax.lax.fori_loop(0, trip, body1, jnp.int32(0))
+    fallback = staged > stage_cap
+
+    def sweep_chunk(a):
+        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
+        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
+        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        rx = e2y * tvz - e2z * tvy
+        ry = e2z * tvx - e2x * tvz
+        rz = e2x * tvy - e2y * tvx
+        e2q = e2x * qx + e2y * qy + e2z * qz
+
+        for pb in range(P // pblk):
+            pslice = slice(pb * pblk, (pb + 1) * pblk)
+            dx = dir_refs[0][0, 0, pslice][:, None]
+            dy = dir_refs[1][0, 0, pslice][:, None]
+            dz = dir_refs[2][0, 0, pslice][:, None]
+
+            det = -(dx * nx + dy * ny + dz * nz)
+            udet = dx * rx + dy * ry + dz * rz
+            vdet = dx * qx + dy * qy + dz * qz
+
+            adet = jnp.abs(det)
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+            us = udet * sgn
+            vs = vdet * sgn
+            ts = e2q * sgn
+            hit = (
+                (adet >= _EPS)
+                & (us >= -_EDGE_EPS * adet)
+                & (vs >= -_EDGE_EPS * adet)
+                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
+                & (ts > _EPS * adet)
+            )
+            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+            packed = (ti & tie_mask) | lane
+            pj = jnp.min(packed, axis=1)
+            best = packed_out[0, 0, pslice]
+            improved = (pj & tie_mask) < (best & tie_mask)
+
+            win = (packed == pj[:, None]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                win, a, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            acc_old = acc_out[0, :, pslice]
+            acc_out[0, :, pslice] = jnp.where(
+                improved[None, :], contrib.T, acc_old)
+            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+
+    @pl.when(jnp.logical_not(fallback))
+    def _dense():
+        trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
+
+        def body(i, c):
+            sweep_chunk(s_ref[:, pl.ds(i * chunk, chunk)])
+            return c
+
+        jax.lax.fori_loop(0, trip2, body, 0)
+
+    @pl.when(fallback)
+    def _fb():
+        # S overflowed: re-stream the admitted chunks and sweep them raw
+        copy_pack(0, 0).start()
+
+        def body(i, c):
+            buf = jax.lax.rem(i, 2)
+            copy_pack(i, buf).wait()
+
+            @pl.when(i + 1 < trip)
+            def _prefetch():
+                copy_pack(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            sweep_chunk(pack_buf[buf])
+            return c
+
+        jax.lax.fori_loop(0, trip, body, 0)
+
+
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
-                                   "tiles_per_view", "ccap"))
+                                   "tiles_per_view", "ccap", "n1d",
+                                   "stage_cap"))
 def raster_tiles_pallas_streamed(
     clist: jax.Array,         # (K*T*ccap,) int32 chunk ids, ascending per tile
     counts: jax.Array,        # (K*T,) int32 (-1 = overflow: scan all)
@@ -443,9 +898,15 @@ def raster_tiles_pallas_streamed(
     interpret: bool = False,
     tiles_per_view: int = 64,
     ccap: int = CHUNK_LIST_CAP,
+    bbox_words: jax.Array | None = None,  # (K, Fp) i32 -> compaction on
+    n1d: int = 8,
+    stage_cap: int = 2048,
 ):
     """Same contract/result as raster_tiles_pallas_chunklist but with the
-    scene pack streamed from HBM per chunk — no mesh-size VMEM limit."""
+    scene pack streamed from HBM per chunk — no mesh-size VMEM limit.
+    When bbox_words (per-view tile-quantized face bboxes) is given, each
+    tile stream-compacts overlapping faces into a dense VMEM staging pack
+    first and sweeps only dense chunks (same results, bit for bit)."""
     T = dir_planes[0].shape[0]
     P = dir_planes[0].shape[1]
     COLS = pack.shape[0]
@@ -467,11 +928,30 @@ def raster_tiles_pallas_streamed(
     # chunk-major: (NC, COLS, chunk) so each chunk is one contiguous block
     pack3 = pack.reshape(COLS, n_chunks_total, chunk).transpose(1, 0, 2)
 
+    compacting = bbox_words is not None
+    extra_in, extra_scratch = [], []
+    if compacting:
+        assert stage_cap % chunk == 0
+        K = bbox_words.shape[0]
+        # 8-chunk-aligned DMA blocks: (K, ceil(NC/8), 8, chunk); the kernel
+        # selects the ci%8 sublane after the copy
+        ncb = -(-n_chunks_total // 8)
+        bb = jnp.pad(bbox_words.astype(jnp.int32),
+                     ((0, 0), (0, ncb * 8 * chunk - Fp)))
+        bbox4 = bb.reshape(K, ncb, 8, chunk)
+        extra_in = [bbox4]
+        extra_scratch = [
+            pltpu.VMEM((2, 8, chunk), jnp.int32),
+            pltpu.VMEM((COLS, stage_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # pack stays off-chip
+            *([pl.BlockSpec(memory_space=pltpu.ANY)] if compacting else []),
             *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
         ],
@@ -484,17 +964,30 @@ def raster_tiles_pallas_streamed(
         scratch_shapes=[
             pltpu.VMEM((2, COLS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            *extra_scratch,
         ],
     )
 
-    def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,
-               packed_o, acc_o, pack_buf, sem):
-        _streamed_tile_kernel(
-            clist_ref, counts_ref, origins_ref, pack_ref, (d0, d1, d2),
-            packed_o, acc_o, pack_buf, sem, chunk=chunk, pblk=pblk,
-            tiles_per_view=tiles_per_view, ccap=ccap,
-            n_chunks_total=n_chunks_total,
-        )
+    if compacting:
+        def kernel(clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
+                   d0, d1, d2, packed_o, acc_o, pack_buf, sem_p, bbox_buf,
+                   s_ref, sem_b):
+            _streamed_compact_tile_kernel(
+                clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
+                (d0, d1, d2), packed_o, acc_o, pack_buf, bbox_buf, s_ref,
+                sem_p, sem_b, chunk=chunk, pblk=pblk,
+                tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
+                n_chunks_total=n_chunks_total, stage_cap=stage_cap,
+            )
+    else:
+        def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,
+                   packed_o, acc_o, pack_buf, sem):
+            _streamed_tile_kernel(
+                clist_ref, counts_ref, origins_ref, pack_ref, (d0, d1, d2),
+                packed_o, acc_o, pack_buf, sem, chunk=chunk, pblk=pblk,
+                tiles_per_view=tiles_per_view, ccap=ccap,
+                n_chunks_total=n_chunks_total,
+            )
 
     packed, acc = pl.pallas_call(
         kernel,
@@ -509,7 +1002,7 @@ def raster_tiles_pallas_streamed(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
-      pack3, *dir3)
+      pack3, *extra_in, *dir3)
 
     if pad_cols:
         acc = acc[:, : COLS - pad_cols]

@@ -387,7 +387,9 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
     return jnp.concatenate(cols, 1)
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret", "ccap", "streamed"))
+@partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret",
+                                   "ccap", "streamed", "compact",
+                                   "stage_cap"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -398,6 +400,8 @@ def render_views_fused(
     vertex_attrs: jax.Array | None = None,
     ccap: int | None = None,
     streamed: bool = False,
+    compact: bool | None = None,
+    stage_cap: int | None = None,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
@@ -415,7 +419,9 @@ def render_views_fused(
     (K,H,W,C)) when vertex_attrs (V,C) is given."""
     from .pallas_raster import (
         CHUNK_LIST_CAP,
+        STAGE_CAP,
         raster_tiles_pallas_chunklist,
+        raster_tiles_pallas_compact,
         raster_tiles_pallas_streamed,
     )
 
@@ -441,6 +447,14 @@ def render_views_fused(
         )(frag)
         return frag, attr_img
 
+    if compact is None:
+        # measured on v5e: per-tile face compaction wins when the admitted
+        # chunk lists are long (584k-tri scan: 230 -> 174 ms/view streamed)
+        # but its staging pass costs more than it saves on short lists
+        # (39.7k-tri scene, ~3 chunks/tile: 7.2 -> 24.9 ms/view), so it is
+        # on by default only for the streamed (big-scan) path
+        compact = streamed
+
     del cap
     res = cameras.resolution
     n1d = res // tile
@@ -453,23 +467,27 @@ def render_views_fused(
     padF = Fp - F
     ccap = min(ccap or CHUNK_LIST_CAP, n_chunks)
 
-    # per-view per-face conservative bboxes -> per-CHUNK bboxes (segment
-    # min/max over the chunk's 128 spatially-coherent faces)
+    # per-view per-face conservative bboxes -> FACE-granular chunk admission:
+    # a chunk is listed for a tile only if >= 1 of its faces' own bboxes
+    # overlaps the tile (the chunk-union bbox admits ~1.3x more chunks whose
+    # overlapping region contains none of the chunk's actual faces). The
+    # per-chunk any-face-overlap is a separable y/x test contracted on the
+    # MXU: overlap[c,ty,tx] = OR_f (ov_y[c,f,ty] & ov_x[c,f,tx]) == matmul>0.
     lo, hi, _live = jax.vmap(
         lambda loc, R, fov: face_screen_bboxes(Camera(loc, R, fov, res), mesh)
     )(cameras.location, cameras.R, cameras.fov)
     BIGF = 1e9
     lo = jnp.pad(lo, ((0, 0), (0, padF), (0, 0)), constant_values=BIGF)
     hi = jnp.pad(hi, ((0, 0), (0, padF), (0, 0)), constant_values=-BIGF)
-    clo = lo.reshape(K, n_chunks, chunk, 2).min(2)  # (K,NC,2)
-    chi = hi.reshape(K, n_chunks, chunk, 2).max(2)
 
-    # per-tile overlapping-chunk lists: top_k over the (tiny) chunk axis
     txs = jnp.arange(n1d) * tile
-    ov_x = (chi[..., 0:1] >= txs[None, None]) & (clo[..., 0:1] <= txs[None, None] + tile)
-    ov_y = (chi[..., 1:2] >= txs[None, None]) & (clo[..., 1:2] <= txs[None, None] + tile)
-    overlap = (ov_y[:, :, :, None] & ov_x[:, :, None, :])  # (K,NC,Ty,Tx)
-    overlap = overlap.reshape(K, n_chunks, T).transpose(0, 2, 1)  # (K,T,NC)
+    ov_x = (hi[..., 0:1] >= txs[None, None]) & (lo[..., 0:1] <= txs[None, None] + tile)
+    ov_y = (hi[..., 1:2] >= txs[None, None]) & (lo[..., 1:2] <= txs[None, None] + tile)
+    ovy_f = ov_y.reshape(K * n_chunks, chunk, n1d).astype(jnp.float32)
+    ovx_f = ov_x.reshape(K * n_chunks, chunk, n1d).astype(jnp.float32)
+    cnt = jnp.einsum("bfy,bfx->byx", ovy_f, ovx_f,
+                     preferred_element_type=jnp.float32)  # (K*NC,Ty,Tx)
+    overlap = (cnt > 0).reshape(K, n_chunks, T).transpose(0, 2, 1)  # (K,T,NC)
     true_counts = overlap.sum(-1)
     counts = jnp.where(true_counts > ccap, -1, true_counts).reshape(K * T)
     ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
@@ -508,10 +526,27 @@ def render_views_fused(
         pad1(p[:, i]) for p in (v0, e1, e2) for i in range(3)
     )
 
+    # per-view per-face tile-space bboxes, u8-packed lo_tx|hi_tx|lo_ty|
+    # hi_ty per int32 (one-pixel slack keeps the quantized test a superset
+    # of the float pixel-space test; dead faces quantize to lo=255 > hi=0
+    # so they never stage)
+    if compact:
+        lo_t = jnp.clip(jnp.floor((lo - 1.0) / tile), 0, 255).astype(jnp.int32)
+        hi_t = jnp.clip(jnp.floor((hi + 1.0) / tile), 0, 255).astype(jnp.int32)
+        bbox_words = (lo_t[..., 0] | (hi_t[..., 0] << 8)
+                      | (lo_t[..., 1] << 16) | (hi_t[..., 1] << 24))
     if streamed:
         valid, t, u, v, f, attrs = raster_tiles_pallas_streamed(
             clist, counts, origins, pack, dir_planes,
             chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
+            bbox_words=bbox_words if compact else None, n1d=n1d,
+            stage_cap=stage_cap or 4 * STAGE_CAP,
+        )
+    elif compact:
+        valid, t, u, v, f, attrs = raster_tiles_pallas_compact(
+            clist, counts, origins, pack, bbox_words, dir_planes,
+            chunk=chunk, interpret=interpret, tiles_per_view=T, n1d=n1d,
+            ccap=ccap, stage_cap=stage_cap or STAGE_CAP,
         )
     else:
         valid, t, u, v, f, attrs = raster_tiles_pallas_chunklist(

@@ -481,11 +481,9 @@ def test_render_complete_on_dense_scene():
 
 def test_streamed_kernel_matches_chunklist():
     """The HBM-streamed pack kernel (no mesh-size VMEM cap) must produce
-    bit-identical fragments + attrs to the VMEM-resident chunk-list kernel.
-    (Compiled use is gated on a real TPU runtime: the axon remote-compile
-    helper cannot initialize DMA-semaphore programs, so TPU-side default
-    stays the chunk-list kernel; streamed=True is for full TPU VMs / big
-    meshes.)"""
+    bit-identical fragments + attrs to the VMEM-resident chunk-list kernel —
+    both the plain per-chunk sweep (compact=False) and the default
+    face-compacting variant (compact auto-enables with streamed=True)."""
     from omnidata_tpu.mesh import render_views_fused
 
     mesh = room(size=4.0, height=2.5)
@@ -496,13 +494,56 @@ def test_streamed_kernel_matches_chunklist():
     attrs = mesh.vertex_normals
     fa, ia = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
                                 vertex_attrs=attrs)
-    fb, ib = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
-                                vertex_attrs=attrs, streamed=True)
-    np.testing.assert_array_equal(np.asarray(fa.valid), np.asarray(fb.valid))
     m = np.asarray(fa.valid)
-    np.testing.assert_array_equal(np.asarray(fa.face)[m], np.asarray(fb.face)[m])
-    np.testing.assert_array_equal(np.asarray(fa.t)[m], np.asarray(fb.t)[m])
-    np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m])
+    # plain sweep / auto-compacting / compacting with a tiny stage cap
+    # (forces the in-kernel re-stream fallback path)
+    for kw in (dict(compact=False), dict(), dict(stage_cap=64)):
+        fb, ib = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                    interpret=True, vertex_attrs=attrs,
+                                    streamed=True, **kw)
+        np.testing.assert_array_equal(m, np.asarray(fb.valid), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(fa.face)[m],
+                                      np.asarray(fb.face)[m], err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(fa.t)[m],
+                                      np.asarray(fb.t)[m], err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(ia)[m], np.asarray(ib)[m],
+                                      err_msg=str(kw))
+
+
+def test_compact_kernel_matches_chunklist():
+    """The face-compacting kernel (dense per-tile staging via MXU one-hot
+    scatter) must be bit-identical to the plain chunk-list kernel — on the
+    fast path AND when a tiny stage_cap forces the per-tile fallback sweep
+    of the raw chunk list."""
+    from omnidata_tpu.mesh import render_views_fused, uv_sphere
+
+    r = room(size=6.0, height=3.0)
+    s = uv_sphere(radius=0.6, center=(1.0, 0.4, 0.9), n_lat=32, n_lon=64)
+    vs = np.concatenate([np.asarray(r.vertices), np.asarray(s.vertices)])
+    fs = np.concatenate([np.asarray(r.faces[: r.num_faces]),
+                         np.asarray(s.faces[: s.num_faces])
+                         + r.vertices.shape[0]])
+    mesh = from_arrays(vs, fs)
+    locs = jnp.asarray([[1.5, 0.5, 1.2], [-0.8, 1.1, 1.6]])
+    tg = jnp.asarray([[0.5, 0.2, 0.8], [0.5, -0.5, 0.8]])
+    Rs = jax.vmap(look_at_rotation)(locs, tg)
+    cams = Camera(locs, Rs, jnp.asarray([1.1, 1.3]), RES)
+    attrs = mesh.vertex_normals
+    ref_f, ref_i = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                      interpret=True, vertex_attrs=attrs,
+                                      compact=False)
+    for kw in (dict(), dict(stage_cap=64)):  # fast path / forced fallback
+        f, i = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                  interpret=True, vertex_attrs=attrs,
+                                  compact=True, **kw)
+        np.testing.assert_array_equal(np.asarray(f.valid),
+                                      np.asarray(ref_f.valid), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(f.face),
+                                      np.asarray(ref_f.face), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(f.t), np.asarray(ref_f.t),
+                                      err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i),
+                                      err_msg=str(kw))
 
 
 def test_pallas_small_tile_pixel_block():
