@@ -172,6 +172,41 @@ def test_checkpoint_manager_topk(tmp_path):
     assert not os.path.exists(str(tmp_path / "ck" / "step_4"))
 
 
+def test_checkpoint_async_rotation_and_migration(tmp_path):
+    """Saves are async ('last' is a symlink flipped only after the previous
+    save committed); a pre-rotation plain 'last' directory migrates in
+    place; wait_until_finished reclaims rotated-out dirs."""
+    from omnidata_tpu.train.checkpoints import CheckpointManager
+
+    d = str(tmp_path / "ck")
+    w = np.ones((4,), np.float32)
+    cm = CheckpointManager(d, save_top_k=1)
+    cm.save({"w": w}, 1)
+    cm.save({"w": w * 2}, 2)
+    cm.wait_until_finished()
+    assert os.path.islink(os.path.join(d, "last"))
+    # rotated-out last.0 reclaimed after drain
+    assert not os.path.exists(os.path.join(d, "last.0"))
+    got = cm.restore({"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(got["w"], w * 2)
+
+    # old-format checkpoint dir: plain 'last' directory migrates to the
+    # rotating scheme and stays restorable
+    import shutil
+
+    d2 = str(tmp_path / "ck2")
+    shutil.copytree(os.path.realpath(os.path.join(d, "last")),
+                    os.path.join(d2, "last"))
+    cm2 = CheckpointManager(d2)
+    assert os.path.islink(os.path.join(d2, "last"))
+    got = cm2.restore({"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(got["w"], w * 2)
+    cm2.save({"w": w * 3}, 3)
+    cm2.wait_until_finished()
+    got = cm2.restore({"w": np.zeros((4,), np.float32)})
+    np.testing.assert_array_equal(got["w"], w * 3)
+
+
 def test_tp_param_sharding_rules():
     mesh = make_mesh(n_data=4, n_model=2)
     params = {

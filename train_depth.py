@@ -179,6 +179,7 @@ def main(argv=None):
             if step % ckpt_step == 0:
                 ckpt.save(state_tree(state), step, metric=None)
     ckpt.save(state_tree(state), step, metric=None)
+    ckpt.wait_until_finished()  # drain the async save before exit
     print(f"done: {step} steps in {time.time()-t0:.1f}s")
 
 
