@@ -296,9 +296,12 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
     if ncpu > 1:
         # spawn (not fork): forking a process that holds the live TPU
         # client wedges libtpu in the child; the initializer pins children
-        # to the CPU backend so they never touch the chip
+        # to the CPU backend so they never touch the chip. Clearing the
+        # axon gate in the parent env keeps the children's sitecustomize
+        # from eagerly claiming the chip before the initializer runs.
         import multiprocessing as mp
 
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
         pool = ProcessPoolExecutor(
             max_workers=min(16, ncpu), mp_context=mp.get_context("spawn"),
             initializer=_host_cue_worker_init)

@@ -513,6 +513,12 @@ def _make_host_cue_pool():
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
+        # Workers must NOT touch the accelerator. The initializer alone is
+        # too late for eager per-interpreter device registration hooks
+        # (sitecustomize runs before it), so clear the gate in the parent's
+        # env — children inherit it at spawn; the parent's already-running
+        # backend is unaffected.
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
         return ProcessPoolExecutor(
             max_workers=min(16, ncpu),
             mp_context=mp.get_context("spawn"),

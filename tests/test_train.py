@@ -561,6 +561,43 @@ def test_resume_restores_state_bitwise(mini_scene_dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_host_cue_process_pool(tmp_path, monkeypatch):
+    """On a multi-core host the CLI's host cues run in a spawn'd process
+    pool whose children must never touch the accelerator (the axon
+    registration gate is cleared in the inherited env before spawn)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    import omnidata_tpu.annotator.cli as cli
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 2)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "1.2.3.4")  # pretend-armed
+    pool = cli._make_host_cue_pool()
+    assert isinstance(pool, ProcessPoolExecutor)
+    assert os.environ["PALLAS_AXON_POOL_IPS"] == ""  # cleared for children
+
+    d = str(tmp_path / "scene")
+    for t in cli.HOST_CUE_TASKS:
+        os.makedirs(os.path.join(d, t))
+    rng = np.random.RandomState(0)
+    depth = np.full((64, 64), 2000, np.uint16)
+    depth[20:40, 20:40] = 900
+    arrs = {
+        "depth_zbuffer": depth,
+        "rgb": (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+        "normal": (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+        "edge_occlusion": (rng.rand(64, 64) * 60000).astype(np.uint16),
+    }
+    view = {"point_uuid": "0", "view_id": "0", "field_of_view_rads": 1.0}
+    from omnidata_tpu.annotator.settings import load_settings
+
+    kv = cli._host_cue_settings_kv(load_settings(["RESOLUTION=64"]))
+    with pool:
+        pool.submit(cli._host_cue_job, d, view, tuple(cli.HOST_CUE_TASKS),
+                    kv, arrs).result(timeout=180)
+    for task in cli.HOST_CUE_TASKS:
+        assert os.listdir(os.path.join(d, task)), task
+
+
 def test_cli_all_overlaps_host_cues(mini_scene_dataset, tmp_path):
     """--task all computes host cues (keypoints3d/segment_*) from the
     in-flight device outputs on a worker pool instead of a separate
