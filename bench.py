@@ -134,6 +134,12 @@ def sample_cameras(n: int, seed: int = 1, resolution: int = 512):
     ]
 
 
+
+def _note(msg):
+    """Progress marker on stderr (stdout carries only the final JSON line);
+    makes multi-minute compile stages diagnosable from the log."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
 def _enable_compile_cache():
     """Persistent XLA compile cache (tmp/xla_cache, shared with the test
     suite): the K=32 batched annotator program takes ~10 min of host XLA
@@ -167,6 +173,7 @@ def main():
     n_batches = 16 if on_tpu else 1  # ~3 s timed region amortizes tunnel jitter
     n_views = K * n_batches
 
+    _note("building small scene")
     mesh, curv = build_scene()
     n_faces = mesh.num_faces
     cams = sample_cameras(n_views + K, resolution=res)
@@ -192,6 +199,7 @@ def main():
 
     # warmup / compile (fetch forces real completion: block_until_ready on
     # tunneled backends may only confirm enqueue)
+    _note(f"compiling small-scene annotate program ({backend})")
     if on_tpu:
         out = annotate_views(batch(range(K)), mesh, curv, **kw)
     else:
@@ -200,6 +208,7 @@ def main():
 
     # accumulate a data-dependent scalar per batch so the final host fetch
     # provably waits for every view's full computation
+    _note("timing small-scene batches")
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.int32)
     for bi in range(n_batches):
@@ -229,6 +238,7 @@ def main():
             ("dpt", bench_dpt_inference),
         ):
             try:
+                _note(f"extra: {name}")
                 extra.update(fn())
             except Exception as e:  # extras must never cost the main metric
                 extra[f"{name}_error"] = repr(e)[:200]
@@ -244,6 +254,7 @@ def bench_large_scene(n_batches: int = 4):
 
     from omnidata_tpu.annotator import annotate_views
 
+    _note("building large scene")
     mesh, curv = build_large_scene()
     K, tile, ccap, res = 8, 32, 192, 512
     cams = sample_cameras(K * (n_batches + 1), seed=3, resolution=res)
@@ -252,6 +263,7 @@ def bench_large_scene(n_batches: int = 4):
         for b in range(n_batches + 1)
     ]
     kw = dict(tile=tile, cap=1024, chunk=128, ccap=ccap, streamed=True)
+    _note("compiling large-scene streamed program")
     out = annotate_views(batches[0], mesh, curv, **kw)  # compile + warm
     float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
     t0 = time.perf_counter()
