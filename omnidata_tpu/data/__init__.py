@@ -2,6 +2,7 @@ from .masks import build_mask, dilate_invalid
 from .task_configs import task_parameters, PIX_TO_PIX_TASKS, SINGLE_IMAGE_TASKS
 from .transforms import get_transform, default_loader
 from .dataset import OmnidataDataset, Options, component_weighted_indices
+from .packed_cache import PackedDataset, build_packed_cache
 from .scene_metadata import (
     BuildingMetadata,
     BuildingMultiviewMetadata,

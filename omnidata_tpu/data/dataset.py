@@ -144,6 +144,20 @@ class OmnidataDataset:
             return arr[:, top : top + size, left : left + size]
         return arr[top : top + size, left : left + size]  # HW labels
 
+    def _raw_task(self, entry, task):
+        """Decoded + transformed + hooked array for one task of one entry —
+        deterministic per (entry, task); augmentation (joint crop/flip)
+        happens in _load_one. PackedDataset overrides this with a memmap
+        read (data/packed_cache.py)."""
+        building, point, view, paths = entry
+        data = default_loader(paths[task])
+        tr = self.transforms[task]
+        arr = tr(data) if tr is not None else data
+        hook = self.post_transform_hooks.get(task)
+        if hook is not None:
+            arr = hook(arr, building, point, view)
+        return arr
+
     def _load_one(self, entry):
         building, point, view, paths = entry
         out = {"building": building, "point": point, "view": view}
@@ -151,12 +165,7 @@ class OmnidataDataset:
         size = self.o.image_size
         top = left = None  # joint crop offsets, sampled from the first task
         for task in self.o.tasks:
-            data = default_loader(paths[task])
-            tr = self.transforms[task]
-            arr = tr(data) if tr is not None else data
-            hook = self.post_transform_hooks.get(task)
-            if hook is not None:
-                arr = hook(arr, building, point, view)
+            arr = self._raw_task(entry, task)
             if isinstance(arr, np.ndarray) and size and arr.ndim in (2, 3):
                 h, w = arr.shape[-2], arr.shape[-1]
                 if h != size or w != size:  # non-square source: crop square

@@ -81,6 +81,18 @@ def build_datasets(cfg: dict, tasks: tuple, image_size: int):
             if train_on.get(comp, True):
                 trains.append(tr)
             vals.append(va)
+
+    pack_dir = cfg.get("packed_cache")
+    if pack_dir:
+        # decode-once binary sample cache (data/packed_cache.py): samples
+        # become mmap row reads + crop/flip — the SURVEY §7.7 "1000
+        # views/sec dataloading" design. Packs are keyed on each dataset's
+        # resolved index, so train/val splits never alias.
+        from ..data.packed_cache import PackedDataset
+
+        workers = int(cfg.get("num_workers", 8))
+        trains = [PackedDataset.build(d, pack_dir, workers) for d in trains]
+        vals = [PackedDataset.build(d, pack_dir, workers) for d in vals]
     return trains, vals
 
 

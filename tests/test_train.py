@@ -78,6 +78,51 @@ def test_annotated_dataset_loads(mini_scene_dataset):
     assert 0.0 <= s["depth_zbuffer"].min() and s["depth_zbuffer"].max() <= 1.0
 
 
+def test_packed_cache_matches_direct(mini_scene_dataset, tmp_path):
+    """PackedDataset (decode-once mmap cache) yields bit-identical samples
+    to the direct PNG path for equal rng states — augmentation (flip +
+    normal-X inversion), pose keys and multiview sampling included."""
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.data.packed_cache import PackedDataset, pack_digest
+
+    opts = Options(
+        data_path=mini_scene_dataset,
+        tasks=("rgb", "normal", "depth_zbuffer", "point_info"),
+        random_flip=True,
+    )
+    ds = OmnidataDataset(opts)
+    pds = PackedDataset.build(ds, str(tmp_path / "pack"), num_workers=2)
+    assert set(pds._packed) == {"rgb", "normal", "depth_zbuffer"}  # not point_info
+    for i in range(len(ds)):
+        ds.rng = np.random.RandomState(100 + i)
+        pds.rng = np.random.RandomState(100 + i)
+        a, b = ds[i], pds[i]
+        assert a.keys() == b.keys()
+        for k in a:
+            if isinstance(a[k], np.ndarray):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # second open reuses the pack; a re-filtered dataset gets a new digest
+    pds2 = PackedDataset.build(ds, str(tmp_path / "pack"))
+    assert pds2._pack_dir == pds._pack_dir
+    sub = ds.subset(range(1, len(ds)))
+    assert pack_digest(sub) != pack_digest(ds)
+
+
+def test_packed_cache_bakes_hooks(mini_scene_dataset, tmp_path):
+    """Component post-transform hooks (hypersim normal remap etc.) are
+    applied at pack time, not re-applied at read time."""
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.data.packed_cache import PackedDataset
+
+    ds = OmnidataDataset(Options(
+        data_path=mini_scene_dataset, tasks=("rgb",), random_flip=False,
+    ))
+    ds.post_transform_hooks["rgb"] = lambda a, b, p, v: a * 0.5
+    pds = PackedDataset.build(ds, str(tmp_path / "pack2"))
+    np.testing.assert_array_equal(ds[0]["rgb"], pds[0]["rgb"])
+    assert pds[0]["rgb"].max() <= 0.5
+
+
 def test_normal_train_step_decreases_loss(mini_scene_dataset):
     from omnidata_tpu.data.dataset import OmnidataDataset, Options
     from omnidata_tpu.models import UNet

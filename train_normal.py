@@ -21,7 +21,8 @@ import yaml
 KNOWN_KEYS = {
     "augment", "batch_size", "cache_dir", "checkpoint_dir", "ckpt_step",
     "data_parallel", "data_paths", "image_size", "log_step", "lr",
-    "max_steps", "model", "model_parallel", "num_workers", "pretrained",
+    "max_steps", "model", "model_parallel", "num_workers", "packed_cache",
+    "pretrained",
     "pretrained_weights_path", "save_top_k", "taskonomy_variant",
     "train_datasets", "unet_downsample", "val_data_paths", "val_datasets",
     "val_fraction", "val_step", "weight_decay",
