@@ -232,11 +232,14 @@ def main():
 
     if on_tpu and not os.environ.get("BENCH_FAST"):
         extra = {}
-        for name, fn in (
+        extras = [
             ("large_scene", bench_large_scene),
             ("full13", lambda: bench_full13(mesh, curv, cams[:K], res, kw)),
             ("dpt", bench_dpt_inference),
-        ):
+        ]
+        if os.environ.get("BENCH_TRAIN"):  # opt-in: one more slow compile
+            extras.append(("train", bench_train_step))
+        for name, fn in extras:
             try:
                 _note(f"extra: {name}")
                 extra.update(fn())
@@ -379,6 +382,50 @@ def _camera_batch(cams, idx, res):
         jnp.asarray(np.stack([np.asarray(cams[i].fov) for i in idx])),
         res,
     )
+
+
+def bench_train_step(batch: int = 8, n_iters: int = 10):
+    """Depth training step throughput (DPT-384 fwd+bwd + MiDaS/VNL losses +
+    Adam, in-step augmentation on) — the reference trains this config at
+    bs 8 @384 on V100s (config/depth.yml). Opt-in via BENCH_TRAIN=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from omnidata_tpu.models.dpt import DPTHybrid
+    from omnidata_tpu.train.depth import VNLParams, make_depth_train_step
+    from omnidata_tpu.train.state import create_train_state, depth_optimizer
+
+    size = 384
+    model = DPTHybrid(num_channels=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    state = create_train_state(variables, depth_optimizer(lr=1e-5))
+
+    def apply_fn(v, rgb_nchw):
+        return model.apply(v, jnp.transpose(rgb_nchw, (0, 2, 3, 1)))[..., 0]
+
+    step_fn = jax.jit(
+        make_depth_train_step(apply_fn, VNLParams(1.0, 1.0, (size, size)),
+                              augment=True, image_size=size),
+        donate_argnums=0,
+    )
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "rgb": jnp.asarray(rng.rand(batch, 3, size, size), jnp.float32),
+        "depth": jnp.asarray(rng.rand(batch, 1, size, size), jnp.float32),
+        "mask_valid": jnp.asarray(rng.rand(batch, 1, size, size) > 0.1),
+    }
+    key = jax.random.PRNGKey(1)
+    state, m = step_fn(state, batch_data, key)  # compile + warm
+    float(jax.tree_util.tree_leaves(m)[0])
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, m = step_fn(state, batch_data, jax.random.fold_in(key, i))
+    _ = float(jax.tree_util.tree_leaves(m)[0])  # forces the whole chain
+    sec = time.perf_counter() - t0
+    return {
+        "train_depth_img_per_s": round(batch * n_iters / sec, 1),
+        "train_depth_ms_per_step": round(sec / n_iters * 1000, 1),
+    }
 
 
 def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
