@@ -516,6 +516,27 @@ def test_mixed_loader_mixes_components():
     )
 
 
+def test_build_datasets_packed_cache(mini_scene_dataset, tmp_path):
+    """packed_cache: <dir> wraps the resolved train/val datasets in
+    PackedDataset; samples stay identical to the direct path."""
+    from omnidata_tpu.data.packed_cache import PackedDataset
+    from omnidata_tpu.train.driver import build_datasets
+
+    cfg = {
+        "data_paths": {"scene": mini_scene_dataset},
+        "val_fraction": 0.5,
+    }
+    tr0, va0 = build_datasets(cfg, ("rgb", "normal"), 64)
+    cfg["packed_cache"] = str(tmp_path / "pack")
+    tr, va = build_datasets(cfg, ("rgb", "normal"), 64)
+    assert all(isinstance(d, PackedDataset) for d in tr + va)
+    assert [len(d) for d in tr + va] == [len(d) for d in tr0 + va0]
+    a, b = tr0[0], tr[0]
+    a.rng = np.random.RandomState(3)
+    b.rng = np.random.RandomState(3)
+    np.testing.assert_array_equal(a[0]["rgb"], b[0]["rgb"])
+
+
 def test_build_datasets_toggles(mini_scene_dataset):
     """train_datasets / val_datasets booleans gate components
     (reference config/depth.yml schema)."""
