@@ -28,15 +28,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def vertex_principal_curvatures(
-    vertices: np.ndarray,
-    faces: np.ndarray,
-    vertex_normals: np.ndarray,
-    rings: int = 2,
-) -> tuple[np.ndarray, np.ndarray]:
-    """(K1, K2) per vertex, K1 >= K2. Host numpy; O(V * ring_size)."""
-    V = vertices.shape[0]
-    # adjacency (k-ring via sparse matrix powers)
+def _kring_csr(faces: np.ndarray, V: int, rings: int):
+    """k-ring vertex adjacency as CSR (indptr, indices)."""
     import scipy.sparse as sp
 
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
@@ -49,32 +42,87 @@ def vertex_principal_curvatures(
     reach = A.copy()
     for _ in range(rings - 1):
         reach = reach + reach @ A
-    reach = reach.tolil()
+    reach = reach.tocsr()
+    reach.sort_indices()
+    return reach.indptr, reach.indices
+
+
+def vertex_principal_curvatures(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_normals: np.ndarray,
+    rings: int = 2,
+    block: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(K1, K2) per vertex, K1 >= K2.
+
+    Vectorized: per-vertex neighbor lists are padded to the block's max
+    ring size (mask-weighted), the quadric z = ax² + bxy + cy² is solved
+    as batched 3x3 normal equations, and the shape operator's eigenvalues
+    come from the closed-form symmetric-2x2 formula. Blocks of `block`
+    vertices bound the padded memory (pole vertices of a uv-sphere can
+    have hundreds of neighbors). ~100x the per-vertex Python loop."""
+    V = vertices.shape[0]
+    indptr, indices = _kring_csr(faces, V, rings)
+    counts = np.diff(indptr)
+
+    # tangent frames (batched; matches the loop reference: t1 = n x e_x,
+    # or n x e_y where n ~ e_x)
+    n = vertex_normals
+    t1 = np.cross(n, np.array([1.0, 0.0, 0.0]))
+    deg = np.linalg.norm(t1, axis=1) < 1e-6
+    if deg.any():
+        t1[deg] = np.cross(n[deg], np.array([0.0, 1.0, 0.0]))
+    t1 /= np.maximum(np.linalg.norm(t1, axis=1, keepdims=True), 1e-30)
+    t2 = np.cross(n, t1)
 
     k1 = np.zeros(V)
     k2 = np.zeros(V)
-    for i in range(V):
-        nbrs = reach.rows[i]
-        if len(nbrs) < 5:
+    # process in ascending-ring-size order so each block's padded cap tracks
+    # its own max (a uv-sphere pole has n_lon neighbors vs a median of ~6 —
+    # unsorted blocks would pad everything to the pole's cap)
+    order = np.argsort(counts, kind="stable")
+    for s in range(0, V, block):
+        vid = order[s:min(s + block, V)]
+        cnt = counts[vid]
+        cap = int(cnt.max()) if len(cnt) else 0
+        if cap == 0:
             continue
-        n = vertex_normals[i]
-        # tangent frame
-        t1 = np.cross(n, [1.0, 0.0, 0.0])
-        if np.linalg.norm(t1) < 1e-6:
-            t1 = np.cross(n, [0.0, 1.0, 0.0])
-        t1 /= np.linalg.norm(t1)
-        t2 = np.cross(n, t1)
-        d = vertices[nbrs] - vertices[i]
-        x = d @ t1
-        y = d @ t2
-        z = d @ n
-        M = np.stack([x * x, x * y, y * y], -1)
-        coef, *_ = np.linalg.lstsq(M, z, rcond=None)
-        a, b, c = coef
-        # minus: convex-positive (bend away from the normal), see module doc
-        S = -np.array([[2 * a, b], [b, 2 * c]])
-        w = np.linalg.eigvalsh(S)
-        k1[i], k2[i] = w[1], w[0]
+        B = len(vid)
+        # padded neighbor ids (pad = self -> d = 0, masked out anyway)
+        mask = np.arange(cap)[None, :] < cnt[:, None]
+        nbr = np.repeat(vid, cap).reshape(B, cap)  # self-padding default
+        flat_rows = np.repeat(np.arange(B), cnt)
+        flat_cols = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        nbr[flat_rows, flat_cols] = indices[
+            np.repeat(indptr[vid], cnt) + flat_cols
+        ]
+
+        d = vertices[nbr] - vertices[vid, None]          # (B, cap, 3)
+        x = np.einsum("bck,bk->bc", d, t1[vid])
+        y = np.einsum("bck,bk->bc", d, t2[vid])
+        z = np.einsum("bck,bk->bc", d, n[vid])
+        w = mask.astype(np.float64)
+        M = np.stack([x * x, x * y, y * y], -1)          # (B, cap, 3)
+        Mw = M * w[..., None]
+        MtM = np.einsum("bci,bcj->bij", Mw, M)           # (B, 3, 3)
+        Mtz = np.einsum("bci,bc->bi", Mw, z)             # (B, 3)
+        # Tikhonov floor keeps near-rank-deficient fits solvable (flat or
+        # collinear rings -> quadric ~ 0 there, matching lstsq's minimum-norm
+        # behavior up to the tiny regularizer)
+        tr = np.trace(MtM, axis1=1, axis2=2)
+        lam = (1e-12 * np.maximum(tr, 1e-30))[:, None]
+        MtM = MtM + lam[..., None] * np.eye(3)
+        coef = np.linalg.solve(MtM, Mtz[..., None])[..., 0]  # (B,3) = a,b,c
+        a, b, c = coef[:, 0], coef[:, 1], coef[:, 2]
+        # eigenvalues of -[[2a, b], [b, 2c]] in closed form
+        # (minus: convex-positive — bend away from the normal, module doc)
+        mean = -(a + c)
+        root = np.sqrt((a - c) ** 2 + b * b)
+        hi, lo = mean + root, mean - root
+        ok = cnt >= 5
+        k1[vid] = np.where(ok, hi, 0.0)
+        k2[vid] = np.where(ok, lo, 0.0)
     return k1, k2
 
 
