@@ -368,13 +368,30 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
                     colors = (np.stack([arr["red"], arr["green"], arr["blue"]], -1)
                               .astype(np.float32) / 255.0)
             elif name == "face":
+                # props[0] is ("list", count_type, index_type, name)
+                cnt_t, idx_t = props[0][1], props[0][2]
+                csz = struct.calcsize(_SIZES[cnt_t])
+                isz = struct.calcsize(_SIZES[idx_t])
+                extra_fixed = all(p[0] != "list" for p in props[1:])
+                if extra_fixed:
+                    # fast path: if every face is a triangle (the scan-mesh
+                    # norm), the whole element is one fixed-stride record
+                    # array — no per-face Python walk
+                    rec = [("n", "<" + _SIZES[cnt_t]), ("idx", "<" + _SIZES[idx_t], (3,))]
+                    rec += [(f"x{j}", "<" + _SIZES[p[0]]) for j, p in enumerate(props[1:])]
+                    dt = np.dtype(rec)
+                    if off + dt.itemsize * count <= len(data):
+                        arr = np.frombuffer(data, dtype=dt, count=count, offset=off)
+                        if (arr["n"] == 3).all():
+                            faces = arr["idx"].astype(np.int64)
+                            if len(props) > 1:
+                                face_labels = arr["x0"].astype(np.int64)
+                            off += dt.itemsize * count
+                            continue
                 # variable-length lists: walk
                 for _ in range(count):
-                    cnt_t, idx_t = props[0][2], props[0][3]
-                    csz = struct.calcsize(_SIZES[cnt_t])
                     n = struct.unpack_from("<" + _SIZES[cnt_t], data, off)[0]
                     off += csz
-                    isz = struct.calcsize(_SIZES[idx_t])
                     idx = struct.unpack_from("<" + str(n) + _SIZES[idx_t], data, off)
                     off += isz * n
                     # extra face properties: first non-list scalar becomes the
@@ -398,7 +415,7 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
         raise ValueError(f"unsupported PLY format {fmt!r}")
 
     labels = (np.asarray(face_labels, np.int32)
-              if face_labels and any(face_labels) else None)
+              if len(face_labels) and np.any(face_labels) else None)
     return from_arrays(verts, np.asarray(faces, np.int32),
                        vertex_colors=colors, face_labels=labels,
                        pad_multiple=pad_multiple)

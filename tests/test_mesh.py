@@ -215,6 +215,47 @@ def test_ply_semantic_labels(tmp_path):
     np.testing.assert_array_equal(np.asarray(m.face_labels[:2]), [7, 9])
 
 
+def test_ply_binary_faces_and_labels(tmp_path):
+    """binary_little_endian face parsing (the Replica mesh_semantic.ply
+    layout): the uniform-triangle fast path, the per-face semantic label
+    column, and the mixed-polygon walk fallback with fan triangulation.
+    (Regression: the list-property type indices were read from the wrong
+    tuple slots, so ALL binary face PLYs failed.)"""
+    import struct
+
+    from omnidata_tpu.mesh import load_ply
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    head = (
+        "ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "property int object_id\nend_header\n"
+    ).encode()
+    body = b"".join(struct.pack("<3f", *p) for p in v)
+    body += struct.pack("<B3ii", 3, 0, 1, 2, 7)
+    body += struct.pack("<B3ii", 3, 1, 3, 2, 9)
+    (tmp_path / "b.ply").write_bytes(head + body)
+    m = load_ply(str(tmp_path / "b.ply"))
+    assert m.num_faces == 2
+    got = sorted(
+        (tuple(f), int(l)) for f, l in
+        zip(np.asarray(m.faces[:2]), np.asarray(m.face_labels[:2]))
+    )
+    assert got == [((0, 1, 2), 7), ((1, 3, 2), 9)]
+
+    # mixed polygon sizes: quad fan-triangulates via the walk fallback
+    head2 = head.replace(b"element face 2", b"element face 2")
+    body2 = b"".join(struct.pack("<3f", *p) for p in v)
+    body2 += struct.pack("<B4ii", 4, 0, 1, 3, 2, 5)
+    body2 += struct.pack("<B3ii", 3, 0, 2, 3, 6)
+    (tmp_path / "q.ply").write_bytes(head2 + body2)
+    m2 = load_ply(str(tmp_path / "q.ply"))
+    assert m2.num_faces == 3  # quad -> 2 tris + 1 tri
+    labs = sorted(np.asarray(m2.face_labels[:3]).tolist())
+    assert labs == [5, 5, 6]
+
+
 def test_mesh_conversion_roundtrip(tmp_path):
     from omnidata_tpu.utils.convert_mesh import main as convert
 
