@@ -52,8 +52,9 @@ def _assemble(parts, rng, edge: float):
 
 
 def _baked_curvature(mesh, rings: int = 1):
-    """bake_curvature_colors with an on-disk cache (the large scene's bake
-    is ~90 s of host work; cache keyed on the mesh geometry digest)."""
+    """bake_curvature_colors with an on-disk cache keyed on the mesh
+    geometry digest (the large scene's bake is ~1.5 s of host work since
+    the vectorized quadric fit; the cache keeps reruns free)."""
     import hashlib
 
     import jax.numpy as jnp
@@ -293,8 +294,6 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
     scales with host cores: a process pool is used when >1 CPU is present
     (numpy/scipy segments of segment_2d/25d hold the GIL); full13_host_cpus
     records the denominator."""
-    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
-
     import jax
     import jax.numpy as jnp
 
@@ -307,21 +306,11 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
     ]
     fovs = [float(np.asarray(c.fov)) for c in cams]
 
-    ncpu = os.cpu_count() or 1
-    if ncpu > 1:
-        # spawn (not fork): forking a process that holds the live TPU
-        # client wedges libtpu in the child; the initializer pins children
-        # to the CPU backend so they never touch the chip. Clearing the
-        # axon gate in the parent env keeps the children's sitecustomize
-        # from eagerly claiming the chip before the initializer runs.
-        import multiprocessing as mp
+    # same spawn'd CPU-pinned pool the CLI's --task all path uses (single
+    # source of truth for the accelerator-gate handling)
+    from omnidata_tpu.annotator.cli import _make_host_cue_pool
 
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        pool = ProcessPoolExecutor(
-            max_workers=min(16, ncpu), mp_context=mp.get_context("spawn"),
-            initializer=_host_cue_worker_init)
-    else:
-        pool = ThreadPoolExecutor(max_workers=2)
+    pool = _make_host_cue_pool()
 
     out = annotate_views(batches[0], mesh, curv, **kw)  # compile + warm
     float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
@@ -349,11 +338,7 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
             f.result()
     dt = time.perf_counter() - t0
     return {"full13_vps": round(n_batches * K / dt, 2),
-            "full13_host_cpus": ncpu}
-
-
-def _host_cue_worker_init():
-    os.environ["JAX_PLATFORMS"] = "cpu"
+            "full13_host_cpus": os.cpu_count() or 1}
 
 
 def _host_cues(arrs, fov, res):

@@ -180,9 +180,12 @@ def _extract_borders(L: _Level):
     normal = np.where(flip[..., None], -normal, normal).astype(np.float32)
     has_normal = (n_cnt >= 3) & valid
 
-    # 4-direction border probabilities from 1d point averages
+    # 4-direction border probabilities from 1d point averages (the per-
+    # direction neighbor averages are reused by the border-direction pass
+    # below — they're the most expensive dense loops in the extractor)
     DIRS = ((-1, 0), (1, 0), (0, -1), (0, 1))  # (dx, dy)
     bscore = np.zeros((4, H, W), np.float32)
+    nbs, nbcnts, fars = [], [], []
     for d, (dx, dy) in enumerate(DIRS):
         nb_sum = np.zeros((H, W, 3), np.float32)
         nb_cnt = np.zeros((H, W), np.float32)
@@ -199,6 +202,9 @@ def _extract_borders(L: _Level):
             nb_cnt += add
             alive = add
         nb = nb_sum / np.maximum(nb_cnt, 1)[..., None]
+        nbs.append(nb)
+        nbcnts.append(nb_cnt)
+        fars.append(far)
         d2 = np.sum((nb - p) ** 2, -1)
         s = np.where(d2 > spacing2, 1.0 - np.sqrt(spacing2 / np.maximum(d2, 1e-20)), 0.0)
         s = np.where(np.linalg.norm(nb, axis=-1) < r, -s, s)
@@ -259,20 +265,7 @@ def _extract_borders(L: _Level):
     bacc = np.zeros((H, W, 3), np.float32)
     for d, (dx, dy) in enumerate(DIRS):
         s = np.where(bscore[d] >= _MIN_BORDER_PROB, bscore[d], 0.0)
-        nb_sum = np.zeros((H, W, 3), np.float32)
-        nb_cnt = np.zeros((H, W), np.float32)
-        alive = np.ones((H, W), bool)
-        far = np.zeros((H, W), bool)
-        for i in range(1, 4):
-            q = np.stack([_shift(p[..., k], i * dy, i * dx) for k in range(3)], -1)
-            vq = _shift(valid.astype(np.float32), i * dy, i * dx, 0.0) > 0
-            rq = _shift(L.rng, i * dy, i * dx, 0.0)  # OOB: not far
-            far |= alive & ~vq & (rq >= 5e29)
-            add = alive & vq
-            nb_sum += np.where(add[..., None], q, 0.0)
-            nb_cnt += add
-            alive = add
-        nb = nb_sum / np.maximum(nb_cnt, 1)[..., None]
+        nb, nb_cnt, far = nbs[d], nbcnts[d], fars[d]
         v = nb - p
         v /= np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
         ray = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-12)

@@ -32,10 +32,17 @@ _MANIFEST = "manifest.json"
 
 
 def pack_digest(ds: OmnidataDataset) -> str:
-    """Stable identity of a dataset's resolved sample list."""
+    """Stable identity of a dataset's resolved sample list — includes the
+    installed post-transform hooks (by module+qualname) since those are
+    baked into the packed arrays; the task transforms themselves are fully
+    determined by (task, image_size), which are folded in directly."""
+    hooks = sorted(
+        (t, getattr(f, "__module__", ""), getattr(f, "__qualname__", repr(f)))
+        for t, f in ds.post_transform_hooks.items()
+    )
     spec = repr((
         [(b, p, v) for b, p, v, _ in ds.index],
-        tuple(ds.o.tasks), ds.o.image_size,
+        tuple(ds.o.tasks), ds.o.image_size, hooks,
     ))
     return hashlib.md5(spec.encode()).hexdigest()
 

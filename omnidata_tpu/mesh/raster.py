@@ -531,6 +531,11 @@ def render_views_fused(
     # of the float pixel-space test; dead faces quantize to lo=255 > hi=0
     # so they never stage)
     if compact:
+        assert n1d <= 256, (
+            f"compacting kernels pack tile indices as u8 ({n1d} tiles/axis "
+            f"at resolution {res} / tile {tile}): raise the tile size or "
+            "pass compact=False"
+        )
         lo_t = jnp.clip(jnp.floor((lo - 1.0) / tile), 0, 255).astype(jnp.int32)
         hi_t = jnp.clip(jnp.floor((hi + 1.0) / tile), 0, 255).astype(jnp.int32)
         bbox_words = (lo_t[..., 0] | (hi_t[..., 0] << 8)

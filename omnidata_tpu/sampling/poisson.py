@@ -111,6 +111,13 @@ def sample_camera_locations_building(
     lo = v.min(0)[:2]
     hi = v.max(0)[:2]
 
+    if max_height <= min_height:
+        # legacy 'MAX_CAMERA_HEIGHT = 0 means unclamped' configs: use the
+        # scene's z extent (an inverted band would make rng.uniform
+        # undefined and silently pin cameras to the floor)
+        max_height = max(float(v[:, 2].max() - v[:, 2].min()),
+                         min_height + 1e-3)
+
     cands = []
     for fz in floors:
         pts2d = poisson_disc_2d(rng, lo, hi, min_spacing)

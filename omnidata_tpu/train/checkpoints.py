@@ -32,6 +32,7 @@ class CheckpointManager:
         if os.path.exists(self._scores_path):
             self._scores = json.load(open(self._scores_path))
         self._pending_rm: list[str] = []  # dirs to delete once saves commit
+        self._pending_link: str | None = None  # 'last' flip awaiting commit
         # rotating-'last' serial: resume past any last.N already on disk
         serials = [
             int(n.split(".", 1)[1]) for n in os.listdir(self.directory)
@@ -50,10 +51,21 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def _drain(self) -> None:
-        """Wait for in-flight saves, then apply deferred deletions."""
+        """Wait for in-flight saves, flip 'last' to the now-committed dir,
+        then apply deferred deletions."""
         import shutil
 
         self._ckpt.wait_until_finished()
+        if self._pending_link is not None:
+            link = self._dir("last")
+            tmp = link + ".tmp"
+            if os.path.lexists(tmp):
+                os.remove(tmp)
+            os.symlink(os.path.basename(self._pending_link), tmp)
+            if os.path.islink(link):
+                self._pending_rm.append(os.path.realpath(link))
+            os.replace(tmp, link)  # atomic flip, target already committed
+            self._pending_link = None
         for d in self._pending_rm:
             if os.path.exists(d):
                 shutil.rmtree(d)
@@ -62,22 +74,15 @@ class CheckpointManager:
     def save(self, state: Any, step: int, metric: float | None = None) -> None:
         """Refreshes 'last' + keeps the top-k metric checkpoints — async.
 
-        'last' rotates through last.0/last.1/… with a `last` symlink flipped
-        only after the previous save committed, so a crash mid-save never
-        leaves the resume point truncated."""
+        'last' rotates through last.0/last.1/… with the `last` symlink
+        flipped only once the async save has committed (at the next drain),
+        so a crash mid-save never leaves the resume point dangling."""
         self._drain()  # previous save is committed; old dirs reclaimable
 
         new = self._dir(f"last.{self._last_serial}")
         self._last_serial += 1
         self._ckpt.save(new, state)
-        link = self._dir("last")
-        tmp = link + ".tmp"
-        if os.path.lexists(tmp):
-            os.remove(tmp)
-        os.symlink(os.path.basename(new), tmp)
-        if os.path.islink(link):
-            self._pending_rm.append(os.path.realpath(link))
-        os.replace(tmp, link)  # atomic flip; new dir commits before next save
+        self._pending_link = new  # flipped after the save commits
 
         if metric is None:
             return

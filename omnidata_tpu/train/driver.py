@@ -63,6 +63,16 @@ def build_datasets(cfg: dict, tasks: tuple, image_size: int):
         if path and os.path.isdir(path) and val_on.get(comp, True):
             explicit_val.append(make(path, train=False))
 
+    def as_val(ds):
+        """Validation view of a dataset: deterministic (no random flip),
+        like the reference's train=False val transforms."""
+        import copy
+        import dataclasses
+
+        ds = copy.copy(ds)
+        ds.o = dataclasses.replace(ds.o, random_flip=False)
+        return ds
+
     trains, vals = [], []
     if explicit_val:
         trains = [ds for comp, ds in per_comp if train_on.get(comp, True)]
@@ -73,14 +83,15 @@ def build_datasets(cfg: dict, tasks: tuple, image_size: int):
             if not val_on.get(comp, True):  # train-only component
                 trains.append(ds)
                 continue
+            if not train_on.get(comp, True):  # val-only: ALL samples validate
+                vals.append(as_val(ds))
+                continue
             tr, va = ds.holdout(frac)
             if len(tr) == 0 or len(va) == 0:  # too small to split
-                if train_on.get(comp, True):
-                    trains.append(ds)
+                trains.append(ds)
                 continue
-            if train_on.get(comp, True):
-                trains.append(tr)
-            vals.append(va)
+            trains.append(tr)
+            vals.append(as_val(va))
 
     pack_dir = cfg.get("packed_cache")
     if pack_dir:
@@ -140,7 +151,16 @@ def try_resume(ckpt, state, mesh=None):
     if not os.path.isdir(os.path.join(ckpt.directory, "last")):
         return state, False
     target = state_tree(state)
-    restored = ckpt.restore(target, "last")
+    try:
+        restored = ckpt.restore(target, "last")
+    except Exception:
+        # pre-rotation checkpoints stored bare params (no step/opt_state):
+        # warm-start the params and let the optimizer/step start fresh
+        params = ckpt.restore(state.params, "last")
+        print("resume: 'last' holds a bare params tree (old format) — "
+              "restored params only; optimizer state and step start fresh")
+        restored = dict(target)
+        restored["params"] = params
 
     def replace(ref, x):
         sh = getattr(ref, "sharding", None)
