@@ -261,24 +261,43 @@ def load_obj(path: str, pad_multiple: int = 256,
     verts, faces, uvs = [], [], []
     uv_of_vertex: dict = {}
     with open(path) as fh:
-        for line in fh:
+        content = fh.read()
+    if "vt " not in content and "/" not in content:
+        # fast path for plain scan meshes (v/f only, no uvs/materials):
+        # batch-parse each record type with C-level split + fromiter
+        vchunks, fchunks = [], []
+        for line in content.split("\n"):
             if line.startswith("v "):
-                parts = line.split()
-                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif line.startswith("vt "):
-                parts = line.split()
-                uvs.append([float(parts[1]), float(parts[2])])
+                vchunks.append(line[2:])
             elif line.startswith("f "):
-                vi, ti = [], []
-                for ptok in line.split()[1:]:
-                    comps = ptok.split("/")
-                    vi.append(int(comps[0]) - 1)
-                    ti.append(int(comps[1]) - 1 if len(comps) > 1 and comps[1] else None)
-                for i in range(1, len(vi) - 1):
-                    faces.append([vi[0], vi[i], vi[i + 1]])
-                for v, t in zip(vi, ti):
-                    if t is not None and v not in uv_of_vertex:
-                        uv_of_vertex[v] = t
+                fchunks.append(line[2:])
+        if vchunks and fchunks:
+            va = np.array(" ".join(vchunks).split(), np.float64)
+            fa = np.array(" ".join(fchunks).split(), np.float64)
+            if va.size == 3 * len(vchunks) and fa.size == 3 * len(fchunks):
+                return from_arrays(
+                    va.reshape(-1, 3),
+                    fa.reshape(-1, 3).astype(np.int64) - 1,
+                    pad_multiple=pad_multiple,
+                )
+    for line in content.split("\n"):
+        if line.startswith("v "):
+            parts = line.split()
+            verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        elif line.startswith("vt "):
+            parts = line.split()
+            uvs.append([float(parts[1]), float(parts[2])])
+        elif line.startswith("f "):
+            vi, ti = [], []
+            for ptok in line.split()[1:]:
+                comps = ptok.split("/")
+                vi.append(int(comps[0]) - 1)
+                ti.append(int(comps[1]) - 1 if len(comps) > 1 and comps[1] else None)
+            for i in range(1, len(vi) - 1):
+                faces.append([vi[0], vi[i], vi[i + 1]])
+            for v, t in zip(vi, ti):
+                if t is not None and v not in uv_of_vertex:
+                    uv_of_vertex[v] = t
     vertex_uvs = None
     if uvs and uv_of_vertex:
         vertex_uvs = np.zeros((len(verts), 2), np.float32)
