@@ -950,8 +950,8 @@ def raster_tiles_pallas_streamed(
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pack stays off-chip
-            *([pl.BlockSpec(memory_space=pltpu.ANY)] if compacting else []),
+            pl.BlockSpec(memory_space=pl.ANY),  # pack stays off-chip
+            *([pl.BlockSpec(memory_space=pl.ANY)] if compacting else []),
             *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
         ],
