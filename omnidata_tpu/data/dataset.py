@@ -158,10 +158,11 @@ class OmnidataDataset:
             arr = hook(arr, building, point, view)
         return arr
 
-    def _load_one(self, entry):
+    def _load_one(self, entry, rng=None):
+        rng = self.rng if rng is None else rng
         building, point, view, paths = entry
         out = {"building": building, "point": point, "view": view}
-        flip = self.o.random_flip and self.rng.rand() < 0.5
+        flip = self.o.random_flip and rng.rand() < 0.5
         size = self.o.image_size
         top = left = None  # joint crop offsets, sampled from the first task
         for task in self.o.tasks:
@@ -171,8 +172,8 @@ class OmnidataDataset:
                 if h != size or w != size:  # non-square source: crop square
                     if top is None:
                         if self.o.random_crop:
-                            top = int(self.rng.randint(0, h - size + 1))
-                            left = int(self.rng.randint(0, w - size + 1))
+                            top = int(rng.randint(0, h - size + 1))
+                            left = int(rng.randint(0, w - size + 1))
                         else:  # torchvision CenterCrop offsets
                             top = int(round((h - size) / 2.0))
                             left = int(round((w - size) / 2.0))
@@ -187,19 +188,29 @@ class OmnidataDataset:
         return out
 
     def __getitem__(self, i: int):
+        return self._get(int(i), self.rng)
+
+    def item(self, i: int, seed: int):
+        """Thread-safe deterministic access: all augmentation/multiview
+        draws come from a private RandomState(seed). The prefetching
+        loaders use this so decode-thread completion order cannot change
+        which sample gets which flip/crop."""
+        return self._get(int(i), np.random.RandomState(int(seed) & 0x7FFFFFFF))
+
+    def _get(self, i: int, rng):
         entry = self.index[i]
         if self.o.num_positive <= 1:
-            return self._load_one(entry)
+            return self._load_one(entry, rng)
         # FILENAME multiview: other views of the same (building, point)
         building, point, _, _ = entry
         candidates = self._views_of_point(building, point)
         picks = [i]
         others = [c for c in candidates if c != i]
-        self.rng.shuffle(others)
+        rng.shuffle(others)
         picks += others[: self.o.num_positive - 1]
         while len(picks) < self.o.num_positive:  # backoff: repeat (SAME)
             picks.append(picks[-1])
-        samples = [self._load_one(self.index[j]) for j in picks]
+        samples = [self._load_one(self.index[j], rng) for j in picks]
         out = {"building": building, "point": point}
         keys = list(self.o.tasks) + [k for k in _POSE_KEYS if k in samples[0]]
         for task in keys:

@@ -255,6 +255,15 @@ def untar(tar_path: str, model: ZippedModel, dest: str) -> str:
                 found = [d for d in os.listdir(sub) if os.path.isdir(os.path.join(sub, d))]
                 if len(found) == 1:
                     sub = os.path.join(sub, found[0])
+                else:
+                    # never move an ambiguous tree into dest: a wrong move
+                    # both corrupts the layout and poisons the idempotent
+                    # skip-if-extracted check on the next attempt
+                    raise ValueError(
+                        f"unexpected tar layout for {model.fname}: wanted "
+                        f"{part}={val!r}, found {sorted(found)[:8]} under "
+                        f"{os.path.relpath(sub, tmp) or '.'}"
+                    )
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)
         shutil.move(sub, out_dir)
     return out_dir
@@ -283,6 +292,11 @@ def process_model(model: ZippedModel, dest: str, dest_compressed: str,
         except Exception as e:  # noqa: BLE001 — collect, keep going
             msg = f"attempt {attempt + 1}/{max_tries} failed for {model.url}: {e}"
             failure(msg)
+            if os.path.exists(tar_path) and (ignore_checksum or not model.checksum):
+                # no way to verify integrity: assume the tar is the problem
+                # (truncated download) so the retry re-fetches instead of
+                # failing forever on the same partial file
+                os.remove(tar_path)
             if errors is not None and attempt == max_tries - 1:
                 errors.append(msg)
     return False
@@ -329,6 +343,24 @@ def download(
     models = []
     for md in metadata_list:
         models.extend(md.models)
+    if component_to_subset is None and subset != "all":
+        # No bundled split CSVs (offline build): derive the nested
+        # debug ⊂ tiny ⊂ … ⊂ fullplus ladder per component from the remote
+        # listing itself (splits.subset_ladder fractions), so --subset
+        # actually narrows the fetch instead of silently no-opping.
+        from .splits import subset_ladder
+
+        by_comp: dict = {}
+        for m in models:
+            by_comp.setdefault(m.component, set()).add(m.model_name)
+        component_to_subset = {
+            c: subset_ladder(sorted(ns)) for c, ns in by_comp.items()
+        }
+        notice(f"--subset {subset}: ladder derived from the remote listing "
+               "(pass component_to_subset for the published membership)")
+    if component_to_split is None and split != "all":
+        notice(f"--split {split}: split CSVs not bundled — no split filter "
+               "applied (pass component_to_split from your CSVs)")
     models = filter_models(models, domains, subset, split,
                            [c.lower() for c in components],
                            component_to_split, component_to_subset)

@@ -177,8 +177,8 @@ class HypersimDataset(OmnidataDataset):
         return p if _os.path.exists(p) else super()._mesh_path(building)
 
     # ---- pose --------------------------------------------------------------
-    def _load_one(self, entry):
-        out = super()._load_one(entry)
+    def _load_one(self, entry, rng=None):
+        out = super()._load_one(entry, rng)
         building = out["building"]
         scene = building.split("-")[0]
         positions, orientations = self.keyframes(building)

@@ -19,6 +19,12 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+def _fetch(ds, i: int, seed: int):
+    """Seeded, thread-safe item access when the dataset supports it."""
+    item = getattr(ds, "item", None)
+    return item(i, seed) if item is not None else ds[i]
+
+
 def _stack(items: list) -> dict:
     batch = {}
     for k in items[0]:
@@ -57,14 +63,16 @@ class MixedLoader:
 
     def batches(self, steps: int, seed: int | None = 0):
         rng = np.random.RandomState(seed)
-        # resolve the whole (component, item) plan up front: deterministic
-        # for a fixed seed regardless of decode-thread timing
+        # resolve the whole (component, item, aug-seed) plan up front:
+        # deterministic for a fixed seed regardless of decode-thread timing
+        # (each item's augmentation rng is private — see dataset.item)
         plan = []
         for _ in range(steps):
             row = []
             for _ in range(self.batch_size):
                 d = rng.randint(len(self.datasets))
-                row.append((d, rng.randint(len(self.datasets[d]))))
+                row.append((d, rng.randint(len(self.datasets[d])),
+                            rng.randint(1 << 31)))
             plan.append(row)
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -77,8 +85,8 @@ class MixedLoader:
                     if stop.is_set():
                         return
                     futures.append([
-                        pool.submit(self.datasets[d].__getitem__, int(i))
-                        for d, i in row
+                        pool.submit(_fetch, self.datasets[d], int(i), int(s))
+                        for d, i, s in row
                     ])
                     while len(futures) > self.prefetch or (
                         futures and row is plan[-1]
@@ -127,11 +135,17 @@ class PrefetchLoader:
 
     def epoch(self, seed: int | None = None, shuffle: bool = True):
         order = np.arange(len(self.ds))
+        rs = np.random.RandomState(seed)
         if shuffle:
-            np.random.RandomState(seed).shuffle(order)
+            rs.shuffle(order)
+        aug_seeds = rs.randint(1 << 31, size=len(order))
         stops = range(0, len(order) if not self.drop_last else
                       len(order) - self.batch_size + 1, self.batch_size)
-        batches = [order[s : s + self.batch_size] for s in stops]
+        batches = [
+            list(zip(order[s : s + self.batch_size],
+                     aug_seeds[s : s + self.batch_size]))
+            for s in stops
+        ]
         if not batches:
             return
 
@@ -147,7 +161,8 @@ class PrefetchLoader:
                     if stop.is_set():
                         return
                     futures.append(
-                        [pool.submit(self.ds.__getitem__, int(i)) for i in idxs]
+                        [pool.submit(_fetch, self.ds, int(i), int(s))
+                         for i, s in idxs]
                     )
                     while len(futures) > self.prefetch or (
                         futures and idxs is batches[-1]

@@ -12,10 +12,15 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("max_pool_size",))
-def build_mask(target: jax.Array, val: float = 0.0, max_pool_size: int = 4) -> jax.Array:
-    """NCHW target -> boolean mask (N,1,H,W); pixels equal to ``val`` are
-    invalid, with the invalid region dilated by a max_pool_size window."""
-    invalid = (target[:, :1] == val).astype(jnp.float32)
+def build_mask(target: jax.Array, val: float = 0.0, max_pool_size: int = 4,
+               tol: float = 1e-3) -> jax.Array:
+    """NCHW target -> boolean mask (N,1,H,W); pixels within ``tol`` of
+    ``val`` on EVERY channel are invalid, with the invalid region dilated
+    by a max_pool_size window. The tolerance band matches the reference
+    (masks.py:14: val±1e-3) — quantized 8-bit sentinels never equal the
+    registry value exactly (normal's 0.502 is 128/255 = 0.50196 on disk)."""
+    near = (target >= val - tol) & (target <= val + tol)
+    invalid = jnp.all(near, axis=1, keepdims=True).astype(jnp.float32)
     dil = jax.lax.reduce_window(
         invalid,
         -jnp.inf,

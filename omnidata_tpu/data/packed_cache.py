@@ -41,6 +41,9 @@ def pack_digest(ds: OmnidataDataset) -> str:
         for t, f in ds.post_transform_hooks.items()
     )
     spec = repr((
+        os.path.abspath(ds.o.data_path),  # two roots with identical row
+        # names (single-building layouts all have building '') must not
+        # alias each other's packs in a shared cache dir
         [(b, p, v) for b, p, v, _ in ds.index],
         tuple(ds.o.tasks), ds.o.image_size, hooks,
     ))
@@ -115,11 +118,11 @@ class PackedDataset(OmnidataDataset):
     states."""
 
     def __init__(self, source: OmnidataDataset, pack_dir: str):
-        self.o = source.o
-        self.transforms = source.transforms
-        self.index = source.index
+        # carry the source's FULL state (component subclasses keep their
+        # keyframe tables, intrinsics, class remaps, …) then override the
+        # packed-path fields
+        self.__dict__.update(source.__dict__)
         self.post_transform_hooks = {}  # baked into the pack
-        self._bp_map = source._bp_map
         self.rng = np.random.RandomState(source.o.seed)
         self._source = source
         self._pack_dir = pack_dir
@@ -141,7 +144,15 @@ class PackedDataset(OmnidataDataset):
     @classmethod
     def build(cls, source: OmnidataDataset, cache_dir: str,
               num_workers: int = 8) -> "PackedDataset":
-        return cls(source, build_packed_cache(source, cache_dir, num_workers))
+        pack_dir = build_packed_cache(source, cache_dir, num_workers)
+        src_cls = type(source)
+        if src_cls is OmnidataDataset:
+            return cls(source, pack_dir)
+        # component subclasses (HypersimDataset, …) override _load_one /
+        # _mesh_path etc.; a dynamic mixin keeps those overrides while the
+        # packed _raw_task (first in the MRO) serves the arrays
+        mixed = type(f"Packed{src_cls.__name__}", (cls, src_cls), {})
+        return mixed(source, pack_dir)
 
     def _raw_task(self, entry, task):
         mm = self._packed.get(task)

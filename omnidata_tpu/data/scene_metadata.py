@@ -206,23 +206,33 @@ class CenterVisibleMultiviewSampler:
         self.rows = list(zip(building.points, building.views))
         self.row_index = {pv: i for i, pv in enumerate(self.rows)}
 
-    def _knn_ok(self, anchor, cand) -> bool:
-        if self.knn is None:
-            return True
+    def _knn_thresh(self, anchor) -> tuple:
+        """(anchor_loc, kth-nearest distance) — computed once per anchor
+        (positives() may test hundreds of candidates against it)."""
         ai = self.row_index.get(anchor)
-        ci = self.row_index.get(cand)
-        if ai is None or ci is None:
-            return True
+        if ai is None:
+            return None, None
         locs = self.b.camera_locations
         a_loc = locs[self.b.camera_idx[ai]]
         d_all = np.linalg.norm(locs - a_loc, axis=1)
-        thresh = np.sort(d_all)[min(self.knn, len(d_all) - 1)]
-        return float(np.linalg.norm(locs[self.b.camera_idx[ci]] - a_loc)) <= thresh
+        k = min(self.knn, len(d_all) - 1)
+        return a_loc, float(np.partition(d_all, k)[k])
+
+    def _knn_ok(self, anchor_loc, thresh, cand) -> bool:
+        if self.knn is None or thresh is None:
+            return True
+        ci = self.row_index.get(cand)
+        if ci is None:
+            return True
+        locs = self.b.camera_locations
+        return float(np.linalg.norm(locs[self.b.camera_idx[ci]] - anchor_loc)) <= thresh
 
     def positives(self, point: str, view: int, n: int, hops: int = 1,
                   rng: np.random.RandomState | None = None) -> list:
         rng = rng or np.random.RandomState(0)
         anchor = (str(point), int(view))
+        a_loc, thresh = (self._knn_thresh(anchor) if self.knn is not None
+                         else (None, None))
         frontier = {str(point)}
         cands: list = []
         seen = {anchor}
@@ -230,7 +240,7 @@ class CenterVisibleMultiviewSampler:
             nxt = set()
             for q in frontier:
                 for pv in self.seen_by.get(q, []):
-                    if pv not in seen and self._knn_ok(anchor, pv):
+                    if pv not in seen and self._knn_ok(a_loc, thresh, pv):
                         cands.append(pv)
                         seen.add(pv)
                         nxt.update(self.mv.visible.get(pv, []))

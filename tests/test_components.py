@@ -123,6 +123,32 @@ def test_hypersim_end_to_end(hypersim_root):
     assert sample["proj_K_inv"].shape == (3, 3)
 
 
+def test_hypersim_packed_cache_keeps_subclass(hypersim_root, tmp_path):
+    """PackedDataset.build on a component subclass keeps its overrides:
+    hypersim pose tensors (subclass _load_one) must survive packing, the
+    hooks (world->cam normals, NYU40 remap) bake into the arrays, and
+    samples stay identical to the direct path."""
+    from omnidata_tpu.data.packed_cache import PackedDataset
+
+    root, building, *_ = hypersim_root
+    ds = make_component_dataset(
+        "hypersim", str(root),
+        tasks=("rgb", "normal", "depth_zbuffer", "semantic"),
+        image_size=32, random_flip=False,
+    )
+    pds = PackedDataset.build(ds, str(tmp_path / "pack"), num_workers=2)
+    assert isinstance(pds, PackedDataset) and isinstance(pds, type(ds))
+    for i in range(len(ds)):
+        ds.rng = np.random.RandomState(11 + i)
+        pds.rng = np.random.RandomState(11 + i)
+        a, b = ds[i], pds[i]
+        assert a.keys() == b.keys()
+        for k in ("cam_to_world_R", "cam_to_world_T", "proj_K"):
+            np.testing.assert_allclose(a[k], b[k], err_msg=k)
+        for k in ("rgb", "normal", "semantic", "depth_zbuffer"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_semantic_labels_flip_with_images(tmp_path):
     """The joint horizontal flip must mirror 2D dense-label maps too (a
     3-channel-only guard left semantics unflipped in half the samples)."""
