@@ -4,7 +4,9 @@ SURVEY.md §7 "dataloading at 1000 views/sec" hard part).
 
 PNG/HDF5 decode is IO- and zlib-bound (both release the GIL), so a thread
 pool overlaps decode of future batches with device compute on the current
-one. Batches come out in a deterministic order for a fixed seed/epoch.
+one. Batches come out in a deterministic order for a fixed seed/epoch, and
+each item carries a private augmentation seed (dataset.item) so decode-
+thread completion order cannot change flips/crops.
 
     loader = PrefetchLoader(dataset, batch_size=16, num_workers=8)
     for batch in loader.epoch(seed=0):   # dict of stacked numpy arrays
@@ -36,6 +38,53 @@ def _stack(items: list) -> dict:
     return batch
 
 
+def _prefetched(plan, submit_row, num_workers: int, prefetch: int):
+    """Shared producer/consumer machinery for the loaders.
+
+    plan: list of batch rows (resolved up front — deterministic).
+    submit_row(pool, row) -> list of futures for that batch's items.
+    Keeps `prefetch` whole batches in flight on a daemon producer thread;
+    yields stacked batches in plan order; re-raises decode exceptions in
+    the consumer; drains cleanly if the consumer stops early."""
+    out_q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def produce():
+        with ThreadPoolExecutor(num_workers) as pool:
+            futures = []
+            for row in plan:
+                if stop.is_set():
+                    return
+                futures.append(submit_row(pool, row))
+                while len(futures) > prefetch or (futures and row is plan[-1]):
+                    fs = futures.pop(0)
+                    try:
+                        out_q.put(_stack([f.result() for f in fs]))
+                    except Exception as e:  # surface in the consumer
+                        out_q.put(e)
+                        return
+        out_q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer can exit
+        while t.is_alive():
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                t.join(timeout=0.1)
+
+
 class MixedLoader:
     """Per-batch equal-component mixing with threaded prefetch — the role of
     the reference's WeightedRandomSampler over a ConcatDataset
@@ -65,7 +114,6 @@ class MixedLoader:
         rng = np.random.RandomState(seed)
         # resolve the whole (component, item, aug-seed) plan up front:
         # deterministic for a fixed seed regardless of decode-thread timing
-        # (each item's augmentation rng is private — see dataset.item)
         plan = []
         for _ in range(steps):
             row = []
@@ -75,47 +123,11 @@ class MixedLoader:
                             rng.randint(1 << 31)))
             plan.append(row)
 
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        def submit_row(pool, row):
+            return [pool.submit(_fetch, self.datasets[d], int(i), int(s))
+                    for d, i, s in row]
 
-        def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = []
-                for row in plan:
-                    if stop.is_set():
-                        return
-                    futures.append([
-                        pool.submit(_fetch, self.datasets[d], int(i), int(s))
-                        for d, i, s in row
-                    ])
-                    while len(futures) > self.prefetch or (
-                        futures and row is plan[-1]
-                    ):
-                        fs = futures.pop(0)
-                        try:
-                            out_q.put(_stack([f.result() for f in fs]))
-                        except Exception as e:  # surface in the consumer
-                            out_q.put(e)
-                            return
-            out_q.put(None)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            while t.is_alive():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    t.join(timeout=0.1)
+        yield from _prefetched(plan, submit_row, self.num_workers, self.prefetch)
 
 
 class PrefetchLoader:
@@ -141,56 +153,16 @@ class PrefetchLoader:
         aug_seeds = rs.randint(1 << 31, size=len(order))
         stops = range(0, len(order) if not self.drop_last else
                       len(order) - self.batch_size + 1, self.batch_size)
-        batches = [
+        plan = [
             list(zip(order[s : s + self.batch_size],
                      aug_seeds[s : s + self.batch_size]))
             for s in stops
         ]
-        if not batches:
+        if not plan:
             return
 
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        def submit_row(pool, row):
+            return [pool.submit(_fetch, self.ds, int(i), int(s))
+                    for i, s in row]
 
-        def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                # keep `prefetch` batches in flight; within a batch, items
-                # decode concurrently
-                futures = []
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    futures.append(
-                        [pool.submit(_fetch, self.ds, int(i), int(s))
-                         for i, s in idxs]
-                    )
-                    while len(futures) > self.prefetch or (
-                        futures and idxs is batches[-1]
-                    ):
-                        fs = futures.pop(0)
-                        try:
-                            items = [f.result() for f in fs]
-                            out_q.put(_stack(items))
-                        except Exception as e:  # surface in the consumer
-                            out_q.put(e)
-                            return
-            out_q.put(None)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            # drain so the producer can exit
-            while t.is_alive():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    t.join(timeout=0.1)
+        yield from _prefetched(plan, submit_row, self.num_workers, self.prefetch)
