@@ -275,9 +275,21 @@ def load_obj(path: str, pad_multiple: int = 256,
             va = np.array(" ".join(vchunks).split(), np.float64)
             fa = np.array(" ".join(fchunks).split(), np.float64)
             if va.size == 3 * len(vchunks) and fa.size == 3 * len(fchunks):
+                texture = None
+                tp = texture_path or (
+                    _os.path.splitext(path)[0] + ".png"
+                    if _os.path.exists(_os.path.splitext(path)[0] + ".png")
+                    else None
+                )
+                if tp:
+                    from PIL import Image
+
+                    texture = np.asarray(
+                        Image.open(tp).convert("RGB"), np.float32) / 255.0
                 return from_arrays(
                     va.reshape(-1, 3),
                     fa.reshape(-1, 3).astype(np.int64) - 1,
+                    texture=texture,
                     pad_multiple=pad_multiple,
                 )
     for line in content.split("\n"):
@@ -419,9 +431,9 @@ def load_ply(path: str, pad_multiple: int = 256) -> TriangleMesh:
                     lab = 0
                     got_label = False
                     for p in props[1:]:
-                        if p[0] == "list":
-                            m = struct.unpack_from("<" + _SIZES[p[2]], data, off)[0]
-                            off += struct.calcsize(_SIZES[p[2]]) + m * struct.calcsize(_SIZES[p[3]])
+                        if p[0] == "list":  # ('list', count_t, item_t, name)
+                            m = struct.unpack_from("<" + _SIZES[p[1]], data, off)[0]
+                            off += struct.calcsize(_SIZES[p[1]]) + m * struct.calcsize(_SIZES[p[2]])
                         else:
                             if not got_label:
                                 lab = int(struct.unpack_from("<" + _SIZES[p[0]], data, off)[0])

@@ -253,6 +253,7 @@ def raster_tiles_pallas_chunklist(
     assert (COLS - 10) % 3 == 0
     n_attr = (COLS - 10) // 3
     pblk = min(pblk, P)  # small tiles: one pixel block
+    assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
     origins = origin.reshape(-1, 3)
 
     tri3 = [a.reshape(1, 1, Fp) for a in tri_planes]
@@ -327,6 +328,7 @@ def raster_tiles_pallas_chunklist(
 # plain pl.when-guarded ref updates.
 
 STAGE_CAP = 512  # dense staging faces per tile (4 sweep chunks)
+STREAMED_STAGE_CAP = 4 * STAGE_CAP  # streamed path: bigger tiles/lists
 
 
 def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
@@ -512,6 +514,7 @@ def raster_tiles_pallas_compact(
     assert (COLS - 10) % 3 == 0
     assert stage_cap % chunk == 0
     pblk = min(pblk, P)
+    assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
@@ -900,13 +903,17 @@ def raster_tiles_pallas_streamed(
     ccap: int = CHUNK_LIST_CAP,
     bbox_words: jax.Array | None = None,  # (K, Fp) i32 -> compaction on
     n1d: int = 8,
-    stage_cap: int = 2048,
+    stage_cap: int = STREAMED_STAGE_CAP,
 ):
     """Same contract/result as raster_tiles_pallas_chunklist but with the
     scene pack streamed from HBM per chunk — no mesh-size VMEM limit.
     When bbox_words (per-view tile-quantized face bboxes) is given, each
     tile stream-compacts overlapping faces into a dense VMEM staging pack
-    first and sweeps only dense chunks (same results, bit for bit)."""
+    first and sweeps only dense chunks (same results, bit for bit, for all
+    faces past the near plane; a face whose vertices ALL sit within
+    z <= 1e-4 m of the camera is never staged — the plain kernel only
+    sweeps such faces when a chunkmate happens to admit the chunk, so
+    neither kernel renders them dependably)."""
     T = dir_planes[0].shape[0]
     P = dir_planes[0].shape[1]
     COLS = pack.shape[0]
@@ -922,6 +929,7 @@ def raster_tiles_pallas_streamed(
     n_chunks_total = Fp // chunk
     assert chunk <= (1 << _LANE_BITS), chunk
     pblk = min(pblk, P)  # small tiles: one pixel block
+    assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]

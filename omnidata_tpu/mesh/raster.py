@@ -420,6 +420,7 @@ def render_views_fused(
     from .pallas_raster import (
         CHUNK_LIST_CAP,
         STAGE_CAP,
+        STREAMED_STAGE_CAP,
         raster_tiles_pallas_chunklist,
         raster_tiles_pallas_compact,
         raster_tiles_pallas_streamed,
@@ -483,8 +484,11 @@ def render_views_fused(
     txs = jnp.arange(n1d) * tile
     ov_x = (hi[..., 0:1] >= txs[None, None]) & (lo[..., 0:1] <= txs[None, None] + tile)
     ov_y = (hi[..., 1:2] >= txs[None, None]) & (lo[..., 1:2] <= txs[None, None] + tile)
-    ovy_f = ov_y.reshape(K * n_chunks, chunk, n1d).astype(jnp.float32)
-    ovx_f = ov_x.reshape(K * n_chunks, chunk, n1d).astype(jnp.float32)
+    # bf16 inputs: {0,1} are exact, the MXU accumulates in f32 (the
+    # preferred_element_type), and the transient (K, Fp, n1d) admission
+    # tensors halve (they peak at ~150 MB per view-batch on 584k faces)
+    ovy_f = ov_y.reshape(K * n_chunks, chunk, n1d).astype(jnp.bfloat16)
+    ovx_f = ov_x.reshape(K * n_chunks, chunk, n1d).astype(jnp.bfloat16)
     cnt = jnp.einsum("bfy,bfx->byx", ovy_f, ovx_f,
                      preferred_element_type=jnp.float32)  # (K*NC,Ty,Tx)
     overlap = (cnt > 0).reshape(K, n_chunks, T).transpose(0, 2, 1)  # (K,T,NC)
@@ -545,7 +549,7 @@ def render_views_fused(
             clist, counts, origins, pack, dir_planes,
             chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
             bbox_words=bbox_words if compact else None, n1d=n1d,
-            stage_cap=stage_cap or 4 * STAGE_CAP,
+            stage_cap=stage_cap or STREAMED_STAGE_CAP,
         )
     elif compact:
         valid, t, u, v, f, attrs = raster_tiles_pallas_compact(

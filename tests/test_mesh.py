@@ -245,7 +245,7 @@ def test_ply_binary_faces_and_labels(tmp_path):
     assert got == [((0, 1, 2), 7), ((1, 3, 2), 9)]
 
     # mixed polygon sizes: quad fan-triangulates via the walk fallback
-    head2 = head.replace(b"element face 2", b"element face 2")
+    head2 = head
     body2 = b"".join(struct.pack("<3f", *p) for p in v)
     body2 += struct.pack("<B4ii", 4, 0, 1, 3, 2, 5)
     body2 += struct.pack("<B3ii", 3, 0, 2, 3, 6)
