@@ -34,8 +34,9 @@ def build_mask(target: jax.Array, val: float = 0.0, max_pool_size: int = 4,
 
 @partial(jax.jit, static_argnames=("max_pool_size",))
 def dilate_invalid(mask_valid: jax.Array, max_pool_size: int = 8) -> jax.Array:
-    """Dilate the invalid region of a boolean NCHW mask (train_depth.py's
-    make_valid_mask uses max-pool on the inverted mask)."""
+    """Dilate the invalid region of a boolean NCHW mask with a stride-1
+    max window (generic safety band; the reference-exact training mask is
+    make_valid_mask below)."""
     invalid = (~mask_valid).astype(jnp.float32)
     dil = jax.lax.reduce_window(
         invalid,
@@ -46,3 +47,20 @@ def dilate_invalid(mask_valid: jax.Array, max_pool_size: int = 8) -> jax.Array:
         "SAME",
     )
     return dil < 0.5
+
+
+@partial(jax.jit, static_argnames=("max_pool_size",))
+def make_valid_mask(mask_valid: jax.Array, max_pool_size: int = 4) -> jax.Array:
+    """The reference's training-time valid mask (train_normal.py /
+    train_depth.py make_valid_mask:215-242): invert, STRIDED max-pool
+    (kernel == stride == max_pool_size), nearest-upsample back — i.e. any
+    max_pool_size² tile containing an invalid pixel is wholly invalid.
+    (A stride-1 window would mask a ~2x wider band around holes.)"""
+    mask_valid = mask_valid.astype(jnp.float32)
+    B, C, H, W = mask_valid.shape
+    mp = max_pool_size
+    assert H % mp == 0 and W % mp == 0, (H, W, mp)
+    inv = 1.0 - mask_valid
+    blocked = inv.reshape(B, C, H // mp, mp, W // mp, mp).max((3, 5))
+    up = jnp.repeat(jnp.repeat(blocked, mp, axis=2), mp, axis=3)
+    return up == 0.0

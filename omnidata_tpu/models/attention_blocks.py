@@ -50,11 +50,13 @@ class CBAM(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        mlp = lambda v, name: nn.Dense(C, name=f"{name}2")(
-            nn.relu(nn.Dense(max(C // self.reduction, 1), name=f"{name}1")(v))
-        )
+        # ONE shared MLP for both pooling branches (the CBAM paper and the
+        # reference channel_attention.py share fc1/fc2)
+        fc1 = nn.Dense(max(C // self.reduction, 1), name="fc1")
+        fc2 = nn.Dense(C, name="fc2")
+        mlp = lambda v: fc2(nn.relu(fc1(v)))
         ca = jax.nn.sigmoid(
-            mlp(jnp.mean(x, (1, 2)), "avg") + mlp(jnp.max(x, (1, 2)), "max")
+            mlp(jnp.mean(x, (1, 2))) + mlp(jnp.max(x, (1, 2)))
         )[:, None, None, :]
         x = x * ca
         sp = jnp.concatenate(

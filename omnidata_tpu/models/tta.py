@@ -42,7 +42,9 @@ class SurfaceNormalsTTA:
             # mirror flips the x component of a normal field
             preds.append(y.at[:, 0].multiply(-1.0))
         for s in self.scales:
-            sh, sw = int(round(H * s)), int(round(W * s))
+            # snap to the backbone stride (DPT needs H, W % 16 == 0)
+            sh = max(16, int(round(H * s / 16.0)) * 16)
+            sw = max(16, int(round(W * s / 16.0)) * 16)
             y = self.model_fn(_resize_nchw(x, sh, sw))
             preds.append(_resize_nchw(y, H, W))
         stack = jnp.stack(preds)

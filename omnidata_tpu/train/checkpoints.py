@@ -92,6 +92,12 @@ class CheckpointManager:
             self._scores, key=self._scores.get, reverse=(self.mode == "max")
         )[: self.save_top_k]
         if name in keep:
+            # a crash-resumed run re-reaches validated steps: replace the
+            # committed dir (we just drained, so nothing is in flight there)
+            if os.path.exists(self._dir(name)):
+                import shutil
+
+                shutil.rmtree(self._dir(name))
             self._ckpt.save(self._dir(name), state)
         for n in list(self._scores):
             if n not in keep:

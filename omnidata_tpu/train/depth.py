@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..data.masks import dilate_invalid
+from ..data.masks import make_valid_mask
 from ..losses import VNLParams, midas_loss, virtual_normal_loss
 from .state import TrainState
 
@@ -33,9 +33,11 @@ def depth_loss_fn(
     mask_valid (B,1,H,W) bool."""
     pred = apply_fn(params, batch["rgb"])  # (B,H,W)
     pred = jnp.clip(pred, 0.0, 1.0)[:, None]
-    mask = dilate_invalid(batch["mask_valid"], 8)
+    mask = make_valid_mask(batch["mask_valid"], 4)
     total, ssi, reg = midas_loss(pred, batch["depth"], mask, alpha=REG_WEIGHT)
-    vnl = virtual_normal_loss(batch["depth"], pred, key, vnl_params)
+    # reference train_depth.py:272 passes PREDICTIONS in the gt_depth slot
+    # (vnl_loss(depth_preds, depth_gt)), so triplet filtering keys on pred
+    vnl = virtual_normal_loss(pred, batch["depth"], key, vnl_params)
     loss = jnp.where(
         step < SSI_ONLY_STEPS, ssi, ssi + REG_WEIGHT * reg + VNL_WEIGHT * vnl
     )
@@ -77,9 +79,9 @@ def make_depth_eval_step(apply_fn, vnl_params: VNLParams):
 
     def eval_step(params, batch: dict, key: jax.Array):
         pred = jnp.clip(apply_fn(params, batch["rgb"]), 0.0, 1.0)[:, None]
-        mask = dilate_invalid(batch["mask_valid"], 8)
+        mask = make_valid_mask(batch["mask_valid"], 4)
         total, ssi, reg = midas_loss(pred, batch["depth"], mask, alpha=REG_WEIGHT)
-        vnl = virtual_normal_loss(batch["depth"], pred, key, vnl_params)
+        vnl = virtual_normal_loss(pred, batch["depth"], key, vnl_params)
         loss = ssi + REG_WEIGHT * reg + VNL_WEIGHT * vnl
         return {"val_depth_loss": loss, "ssi": ssi, "reg": reg, "vnl": vnl}, pred
 

@@ -12,19 +12,6 @@ from typing import Callable, Sequence
 import numpy as np
 
 
-def split_train_val(datasets: Sequence, val_fraction: float = 0.05):
-    """Per-component holdout split (whole (building,point) groups)."""
-    trains, vals = [], []
-    for ds in datasets:
-        tr, va = ds.holdout(val_fraction)
-        if len(tr) == 0 or len(va) == 0:  # too small to split: train on all
-            trains.append(ds)
-            continue
-        trains.append(tr)
-        vals.append(va)
-    return trains, vals
-
-
 def run_validation(
     val_datasets: Sequence,
     batch_size: int,

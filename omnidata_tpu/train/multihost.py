@@ -47,7 +47,12 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    on_tpu_pod = jax.default_backend() == "tpu" and coordinator_address is None
+    # jax.distributed.initialize() must run BEFORE anything initializes the
+    # XLA backend, so TPU-pod detection must not call jax.default_backend()
+    # (jax 0.9 raises 'must be called before any JAX calls' otherwise) —
+    # use the platform env var instead
+    plat = os.environ.get("JAX_PLATFORMS", "").lower()
+    on_tpu_pod = "tpu" in plat and coordinator_address is None
     if not on_tpu_pod and coordinator_address is None:
         return False  # single-process
     jax.distributed.initialize(

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..data.masks import dilate_invalid
+from ..data.masks import make_valid_mask
 from ..losses import masked_cosine_angular_loss, masked_l1_loss
 from .state import TrainState
 
@@ -19,7 +19,7 @@ def normal_loss_fn(params, apply_fn, batch: dict):
     mask_valid (B,1,H,W) bool."""
     pred = apply_fn(params, batch["rgb"])  # (B,3,H,W)
     pred = jnp.clip(pred, 0.0, 1.0)
-    mask1 = dilate_invalid(batch["mask_valid"], 8)
+    mask1 = make_valid_mask(batch["mask_valid"], 4)
     mask3 = jnp.repeat(mask1, 3, axis=1)
     cos = masked_cosine_angular_loss(pred, batch["normal"], mask3)
     l1 = masked_l1_loss(pred, batch["normal"], mask3)
@@ -27,17 +27,21 @@ def normal_loss_fn(params, apply_fn, batch: dict):
     return loss, {"loss": loss, "cos": cos, "l1": l1}
 
 
-def make_normal_train_step(apply_fn, augment: bool = False):
-    """augment=True applies the reference's train-time rgb cascade
-    (train_normal.py:236-241: augment_rgb only; no resize aug for normals).
-    Signature stays (state, batch) when augment=False for compatibility."""
+def make_normal_train_step(apply_fn, augment: bool = False,
+                           image_size: int = 512):
+    """augment=True applies the reference's in-step train augmentation
+    (train_normal.py:237-241: resize_augmentation on the whole batch, then
+    the rgb cascade). Signature stays (state, batch) when augment=False."""
 
     def train_step(state: TrainState, batch: dict, key: jax.Array = None):
         if augment:
-            from ..augment import augment_rgb
+            from ..augment import augment_rgb, resize_crop
 
+            key, k1, k2 = jax.random.split(key, 3)
             batch = dict(batch)
-            batch["rgb"] = augment_rgb(batch["rgb"], key)
+            batch = resize_crop(batch, k1, image_size)
+            batch["mask_valid"] = batch["mask_valid"] > 0.5
+            batch["rgb"] = augment_rgb(batch["rgb"], k2)
         grad_fn = jax.value_and_grad(normal_loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, apply_fn, batch)
         return state.apply_gradients(grads), metrics
@@ -51,7 +55,7 @@ def make_normal_eval_step(apply_fn):
 
     def eval_step(params, batch: dict):
         pred = jnp.clip(apply_fn(params, batch["rgb"]), 0.0, 1.0)
-        mask3 = jnp.repeat(dilate_invalid(batch["mask_valid"], 8), 3, axis=1)
+        mask3 = jnp.repeat(make_valid_mask(batch["mask_valid"], 4), 3, axis=1)
         cos = masked_cosine_angular_loss(pred, batch["normal"], mask3)
         l1 = masked_l1_loss(pred, batch["normal"], mask3)
         loss = cos + L1_WEIGHT * l1

@@ -159,7 +159,12 @@ def main(argv=None):
     t0 = time.time()
     done = 0
     with mesh:
-        for batch in loader.batches(steps=max_steps - step, seed=step):
+        # per-process plans must differ or every host feeds the SAME
+        # samples as different shards of the global batch
+        for batch in loader.batches(
+            steps=max_steps - step,
+            seed=step * jax.process_count() + jax.process_index(),
+        ):
             b = prepare(batch, train=True)
             key, k = jax.random.split(key)
             try:

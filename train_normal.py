@@ -111,7 +111,8 @@ def main(argv=None):
         return jnp.transpose(y, (0, 3, 1, 2))
 
     augment = bool(cfg.get("augment", True))  # reference augments train rgb
-    step_fn = jax.jit(make_normal_train_step(apply_fn, augment=augment),
+    step_fn = jax.jit(make_normal_train_step(apply_fn, augment=augment,
+                                             image_size=image_size),
                       donate_argnums=0)
     eval_fn = jax.jit(make_normal_eval_step(apply_fn))
     ckpt = CheckpointManager(ckpt_dir, save_top_k=int(cfg.get("save_top_k", 3)))
@@ -155,7 +156,12 @@ def main(argv=None):
     t0 = time.time()
     done = 0
     with mesh:
-        for batch in loader.batches(steps=max_steps - step, seed=step):
+        # per-process plans must differ or every host feeds the SAME
+        # samples as different shards of the global batch
+        for batch in loader.batches(
+            steps=max_steps - step,
+            seed=step * jax.process_count() + jax.process_index(),
+        ):
             b = prepare(batch)
             key, k = jax.random.split(key)
             try:
