@@ -146,7 +146,13 @@ def run_points(model_path: str, settings) -> None:
     mesh = find_mesh(model_path, settings)
     rng = np.random.RandomState(settings.RANDOM_SEED)
     pose_file = os.path.join(model_path, settings.CAMERA_POSE_FILE)
-    if not settings.GENERATE_CAMERAS and os.path.exists(pose_file):
+    if not settings.GENERATE_CAMERAS:
+        if not os.path.exists(pose_file):
+            # an explicit reuse request must not silently resample (the new
+            # cameras would desynchronize point_info from rendered images)
+            raise FileNotFoundError(
+                f"GENERATE_CAMERAS=False but {pose_file} does not exist"
+            )
         # reuse previously generated cameras (reference GENERATE_CAMERAS)
         import json
 
@@ -161,12 +167,16 @@ def run_points(model_path: str, settings) -> None:
             min_height=settings.MIN_CAMERA_HEIGHT,
             max_height=settings.MAX_CAMERA_HEIGHT,
             min_clearance=settings.MIN_CAMERA_DISTANCE_TO_MESH,
+            max_cameras=settings.NUM_CAMERAS or None,
         )
     else:
         cams = sample_camera_locations_object(mesh, rng, max(settings.NUM_POINTS, 16),
                                               settings.SPHERE_SCALING_FACTOR)
-    if settings.NUM_CAMERAS:
-        cams = cams[: settings.NUM_CAMERAS]
+    if settings.NUM_CAMERAS and len(cams) > settings.NUM_CAMERAS:
+        # uniform subsample, not a positional prefix (poisson-disc order
+        # grows outward from the seed — a prefix is a spatial blob)
+        keep = rng.choice(len(cams), settings.NUM_CAMERAS, replace=False)
+        cams = cams[np.sort(keep)]
     if len(cams) == 0:
         raise RuntimeError("no viable camera locations found")
     if settings.POINT_TYPE == "SWEEP":
@@ -255,13 +265,29 @@ def run_trajectory(model_path: str, settings) -> None:
             v["camera_distance"] = float(np_.linalg.norm(pt - loc))
             frames.append(v)
         out.append(frames)
+    # a trajectory REPLACES its point's view set: clear the old fixated
+    # view JSONs first or renders mix stale wide-baseline views with
+    # trajectory frames under the same filename grammar
+    import glob as glob_
+
+    d = os.path.join(model_path, "point_info")
+    for frames in out:
+        pat = os.path.join(
+            d, f"point_{frames[0]['point_uuid']}_view_*_domain_fixatedpose.json"
+        )
+        for f in glob_.glob(pat):
+            os.remove(f)
+    skipped = [v[0]["point_uuid"] for v in infos if len(v) < 2]
+    if skipped:
+        print(f"[trajectory] skipped single-view points (kept as-is): "
+              f"{skipped[:8]}{'…' if len(skipped) > 8 else ''}")
     save_point_info(model_path, out)
     n = sum(len(v) for v in out)
     print(f"[trajectory] {len(out)} trajectories, {n} frames")
 
 
 def run_device_tasks(model_path: str, tasks: list[str], settings,
-                     host_tasks: tuple = ()) -> None:
+                     host_tasks: tuple = (), mesh_task: str | None = None) -> None:
     """host_tasks: host cues (keypoints3d/segment_*) to compute from the
     in-flight device outputs, overlapped with the next device dispatch on a
     thread pool — instead of a separate serial pass re-reading PNGs
@@ -276,7 +302,7 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
     from .pipeline import annotate_view
 
     mesh = find_mesh(model_path, settings,
-                     task=tasks[0] if len(tasks) == 1 else None)
+                     task=mesh_task or (tasks[0] if len(tasks) == 1 else None))
     if mesh.vertex_colors is None and mesh.face_colors is None:
         # neutral grey so rgb/edge/keypoint cues are defined for colorless meshes
         import jax.numpy as jnp_
@@ -357,12 +383,10 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
             from .pipeline import annotate_views
 
             K = int(getattr(settings, "VIEWS_PER_DISPATCH", 64))
-            # SMEM bound: K * tiles/view * packed-chunk-id words <= ~900KB
-            from ..mesh.pallas_raster import CHUNK_LIST_CAP
+            from ..mesh.pallas_raster import max_views_per_dispatch
 
             T_view = (settings.RESOLUTION // settings.RASTER_TILE) ** 2
-            words = ((CHUNK_LIST_CAP + 1) // 2) + 2
-            k_max = max(1, 900_000 // (T_view * words * 4))
+            k_max = max_views_per_dispatch(T_view)
             if K > k_max:
                 print(f"[annotate] clamping VIEWS_PER_DISPATCH {K} -> {k_max} "
                       f"(SMEM bound at {T_view} tiles/view)")
@@ -693,10 +717,31 @@ def main(argv=None):
     overlapped = tuple(
         t for t in host if t in deps and deps[t] <= set(device)
     )
+    # RGB_MODEL_FILE / SEMANTIC_MODEL_FILE pick a different mesh for those
+    # labels (reference: the rgb/semantic jobs load their own model files).
+    # The rgb-derived cues (edge_texture/keypoints2d) ride with rgb's mesh.
+    groups: list[tuple[list, str | None]] = []
+    if getattr(settings, "RGB_MODEL_FILE", "") and len(device) > 1:
+        g = [t for t in device if t in ("rgb", "edge_texture", "keypoints2d")]
+        if g:
+            device = [t for t in device if t not in g]
+            groups.append((g, "rgb"))
+    if getattr(settings, "SEMANTIC_MODEL_FILE", "") and "semantic" in device \
+            and len(device) > 1:
+        device.remove("semantic")
+        groups.append((["semantic"], "semantic"))
     if device:
-        run_device_tasks(args.model_path, device, settings,
-                         host_tasks=overlapped)
-    host = [t for t in host if t not in overlapped]
+        groups.insert(0, (device, None))
+    done_overlapped: set = set()
+    for tasks_g, mesh_task in groups:
+        overlapped_g = tuple(
+            t for t in overlapped
+            if t not in done_overlapped and deps[t] <= set(tasks_g)
+        )
+        run_device_tasks(args.model_path, tasks_g, settings,
+                         host_tasks=overlapped_g, mesh_task=mesh_task)
+        done_overlapped.update(overlapped_g)
+    host = [t for t in host if t not in done_overlapped]
     if host:
         run_host_tasks(args.model_path, host, settings)
     print(f"[omnidata-annotate] done in {time.time() - t0:.1f}s")

@@ -119,23 +119,7 @@ def annotate_view(
     attr_slices: dict[str, Any] = {}
     if use_pallas and fused_attrs:
         # fuse attribute interpolation into the kernel's winner extraction
-        cols = []
-        if needs_normals:
-            attr_slices["normal"] = slice(len(cols) * 0, 3)
-            cols.append(mesh.vertex_normals)
-        if needs_rgb and has_texture:
-            start = sum(c.shape[1] for c in cols)
-            attr_slices["uv"] = slice(start, start + 2)
-            cols.append(mesh.vertex_uvs)
-        elif needs_rgb and has_colors:
-            start = sum(c.shape[1] for c in cols)
-            attr_slices["rgb"] = slice(start, start + 3)
-            cols.append(mesh.vertex_colors)
-        if "principal_curvature" in modalities and curvature_mesh is not None:
-            start = sum(c.shape[1] for c in cols)
-            attr_slices["curv"] = slice(start, start + 3)
-            cols.append(curvature_mesh.vertex_colors)
-        vertex_attrs = jnp.concatenate(cols, -1) if cols else None
+        vertex_attrs, attr_slices = _gather_attrs(mesh, curvature_mesh, modalities)
         if vertex_attrs is not None:
             frag, attr_img = render_view_pallas(
                 camera, mesh, tile, cap, chunk, vertex_attrs=vertex_attrs

@@ -43,6 +43,8 @@ def _kring_csr(faces: np.ndarray, V: int, rings: int):
     for _ in range(rings - 1):
         reach = reach + reach @ A
     reach = reach.tocsr()
+    reach.setdiag(0)  # A@A has a nonzero diagonal: a vertex is not its own
+    reach.eliminate_zeros()  # neighbor (keeps the cnt >= 5 guard honest)
     reach.sort_indices()
     return reach.indptr, reach.indices
 

@@ -40,9 +40,13 @@ def _build_and_load():
     src = os.path.join(_NATIVE_DIR, "narf.cpp")
     so = os.path.join(_NATIVE_DIR, "libnarf.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        # atomic build: concurrent first-use from spawn'd pool workers must
+        # never CDLL a half-written .so (or persist one with a fresh mtime)
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src], check=True
         )
+        os.replace(tmp, so)
     lib = ctypes.CDLL(so)
     lib.narf_interest_image.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,

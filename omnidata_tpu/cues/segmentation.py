@@ -77,9 +77,13 @@ def _felz_native():
     src = os.path.join(d, "felzenszwalb.cpp")
     so = os.path.join(d, "libfelzenszwalb.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        # atomic build: concurrent first-use from spawn'd pool workers must
+        # never CDLL a half-written .so (or persist one with a fresh mtime)
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src], check=True
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src], check=True
         )
+        os.replace(tmp, so)
     lib = ctypes.CDLL(so)
     lib.felzenszwalb_segment.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
@@ -252,7 +256,7 @@ def _ncut_sweep(Wm, fiedler, ts):
     return vals
 
 
-def _two_way_ncut(Wm, thresh, num_cuts, rng):
+def _two_way_ncut(Wm, thresh, num_cuts):
     """One recursive step of skimage's graph.cut_normalized: Fiedler vector of
     the normalized Laplacian via shift-invert eigsh (sigma=0, 'LM' — the 'SM'
     mode fails to converge on near-disconnected RAGs), threshold sweep over
@@ -302,7 +306,7 @@ def _two_way_ncut(Wm, thresh, num_cuts, rng):
 
 
 def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
-                   num_cuts: int = 10, seed: int = 0,
+                   num_cuts: int = 10,
                    max_edge: float = 1.0) -> np.ndarray:
     """Recursively bipartition the RAG; relabel the image.
 
@@ -310,25 +314,26 @@ def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
     cut_normalized's max_edge / the reference's SEGMENTATION_*_SELF_EDGE_WEIGHT
     — create_segmentation_25d_images.py:62-67). Self-loops keep D well-
     conditioned on near-disconnected RAGs and damp trivial single-node cuts."""
-    rng = np.random.RandomState(seed)
     Wm = Wm.tolil(copy=True)
     Wm.setdiag(max_edge)
     Wm = Wm.tocsr()
     n = Wm.shape[0]
     region_of = np.zeros(n, np.int64)  # final region id per original segment
-    next_id = [0]
+    next_id = 0
 
-    def recurse(nodes):
+    # explicit worklist (aggressive thresholds can peel a node per cut —
+    # recursion depth ~n blows Python's limit on large RAGs)
+    stack = [np.arange(n)]
+    while stack:
+        nodes = stack.pop()
         sub = Wm[nodes][:, nodes]
-        mask = _two_way_ncut(sub, thresh, num_cuts, rng)
+        mask = _two_way_ncut(sub, thresh, num_cuts)
         if mask is None:
-            region_of[nodes] = next_id[0]
-            next_id[0] += 1
-            return
-        recurse(nodes[mask])
-        recurse(nodes[~mask])
-
-    recurse(np.arange(n))
+            region_of[nodes] = next_id
+            next_id += 1
+            continue
+        stack.append(nodes[~mask])  # LIFO: mask side first (old DFS order,
+        stack.append(nodes[mask])   # keeps label ids bit-stable)
     return region_of[labels]
 
 

@@ -331,6 +331,16 @@ STAGE_CAP = 512  # dense staging faces per tile (4 sweep chunks)
 STREAMED_STAGE_CAP = 4 * STAGE_CAP  # streamed path: bigger tiles/lists
 
 
+def max_views_per_dispatch(tiles_per_view: int, ccap: int | None = None,
+                           smem_budget: int = 900_000) -> int:
+    """How many views one fused dispatch can carry: the per-tile packed
+    chunk-id lists (two u16 ids per int32 word, +count +slack) live in TPU
+    scalar memory (~1 MB). Owned here so callers never restate the kernel's
+    SMEM word layout."""
+    words = (((ccap or CHUNK_LIST_CAP) + 1) // 2) + 2
+    return max(1, smem_budget // (tiles_per_view * words * 4))
+
+
 def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
                          bbox_ref, dir_refs, packed_out, acc_out, s_ref, *,
                          chunk: int, pblk: int, tiles_per_view: int,

@@ -686,6 +686,65 @@ def test_host_cue_process_pool(tmp_path, monkeypatch):
         assert os.listdir(os.path.join(d, task)), task
 
 
+def test_cli_all_honors_per_task_model_files(mini_scene_dataset, tmp_path):
+    """RGB_MODEL_FILE / SEMANTIC_MODEL_FILE must pick their meshes in a
+    multi-task run too (previously honored only when the task ran alone:
+    --task all silently rendered rgb/semantic from the default mesh)."""
+    import shutil
+
+    import omnidata_tpu.annotator.cli as cli
+    from omnidata_tpu.mesh import cube, room
+
+    d = str(tmp_path / "scene")
+    shutil.copytree(mini_scene_dataset, d)
+    # rgb variant: same geometry, saturated red vertex colors
+    r = room(size=8.0, height=3.0)
+    c = cube(size=1.0, center=(1.5, 0.5, 0.5))
+    v = np.concatenate([np.asarray(r.vertices), np.asarray(c.vertices)])
+    f = np.concatenate([np.asarray(r.faces[: r.num_faces]),
+                        np.asarray(c.faces[: c.num_faces]) + r.vertices.shape[0]])
+    with open(os.path.join(d, "rgbmesh.ply"), "w") as fh:
+        fh.write(
+            f"ply\nformat ascii 1.0\nelement vertex {len(v)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            f"element face {len(f)}\nproperty list uchar int vertex_indices\nend_header\n"
+        )
+        for vv in v:
+            fh.write(f"{vv[0]} {vv[1]} {vv[2]} 255 0 0\n")
+        for ff in f:
+            fh.write(f"3 {ff[0]} {ff[1]} {ff[2]}\n")
+    # semantic variant: same geometry, constant face label 7
+    with open(os.path.join(d, "semmesh.ply"), "w") as fh:
+        fh.write(
+            f"ply\nformat ascii 1.0\nelement vertex {len(v)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(f)}\nproperty list uchar int vertex_indices\n"
+            "property int object_id\nend_header\n"
+        )
+        for vv in v:
+            fh.write(f"{vv[0]} {vv[1]} {vv[2]}\n")
+        for ff in f:
+            fh.write(f"3 {ff[0]} {ff[1]} {ff[2]} 7\n")
+    cli.main([
+        "--model_path", d, "--task", "all",
+        "with", "NUM_POINTS=2", "RESOLUTION=64", "MIN_CAMERA_SPACING=2.0",
+        "MAX_VIEWS_PER_POINT=2", "MIN_NONFIXATED_AFTER_PRUNE=0",
+        "RASTER_TILE=32", "RASTER_CAP=256", "RASTER_CHUNK=64",
+        "RGB_MODEL_FILE=rgbmesh.ply", "SEMANTIC_MODEL_FILE=semmesh.ply",
+    ])
+    from PIL import Image
+
+    rgbs = [np.asarray(Image.open(os.path.join(d, "rgb", p)))
+            for p in os.listdir(os.path.join(d, "rgb"))]
+    assert rgbs and all((a[..., 0] > 200).all() and (a[..., 1] < 30).all()
+                        for a in rgbs)  # red mesh rendered
+    sems = [np.asarray(Image.open(os.path.join(d, "semantic", p)))
+            for p in os.listdir(os.path.join(d, "semantic"))]
+    assert sems and all(set(np.unique(a)) <= {0, 7} and (a == 7).any()
+                        for a in sems)
+
+
 def test_cli_all_overlaps_host_cues(mini_scene_dataset, tmp_path):
     """--task all computes host cues (keypoints3d/segment_*) from the
     in-flight device outputs on a worker pool instead of a separate
