@@ -47,7 +47,8 @@ def main(argv=None):
         name = os.path.splitext(os.path.basename(f))[0]
         if "rgb" not in name:
             continue
-        depth_path = f.replace("rgb", "depth_euclidean")
+        base = os.path.basename(f).replace("rgb", "depth_euclidean")
+        depth_path = os.path.join(os.path.dirname(f), base)
         if not os.path.exists(depth_path):
             continue
         print(f"Reading input {f} ...")

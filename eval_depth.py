@@ -44,9 +44,10 @@ def main(argv=None):
             x = (x - 0.5) / 0.5  # depth model takes [-1,1] rgb
             pred = bundle.apply(bundle.variables, jnp.asarray(x[None]))
             h, w = s["orig_size"]
-            pred = _resize_chw(np.asarray(pred), h, w)[0]
+            pred = np.clip(_resize_chw(np.asarray(pred), h, w)[0], 0, 1)
             # model outputs [0,1] inverse-ish depth; evaluate vs gt scaled to
-            # [0,1] by NYU's max range (the reference's clamp_to convention)
+            # [0,1] by NYU's max range (the reference's clamp_to convention;
+            # pred clipped the same as the --data_path protocol)
             gt = np.clip(s["depth"][0] / ds.MAX_DEPTH, 0, 1)
             m = jnp.asarray(s["mask"][0] > 0.5)
             out = depth_metrics(jnp.asarray(pred)[None, None],
@@ -72,7 +73,7 @@ def main(argv=None):
     )
     agg: dict = {}
     n = 0
-    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False)):
+    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False, drop_last=False)):
         if args.max_batches and i >= args.max_batches:
             break
         rgb = jnp.asarray(batch["rgb"], jnp.float32) * 2.0 - 1.0

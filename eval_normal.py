@@ -84,7 +84,7 @@ def main(argv=None):
     )
     agg: dict = {}
     n = 0
-    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False)):
+    for i, batch in enumerate(ds.batches(args.batch_size, shuffle=False, drop_last=False)):
         if args.max_batches and i >= args.max_batches:
             break
         pred = bundle.apply(bundle.variables, jnp.asarray(batch["rgb"], jnp.float32))

@@ -39,9 +39,8 @@ def motion_blur(img: jax.Array, key: jax.Array, kernel_size: int = 3) -> jax.Arr
     eye = jnp.eye(kernel_size)
     kernels = jnp.stack(
         [
-            jnp.ones((1, kernel_size)) / kernel_size * jnp.ones((kernel_size, 1)) * 0
-            + jnp.where(jnp.arange(kernel_size)[:, None] == kernel_size // 2, 1.0, 0.0)
-            / kernel_size * jnp.ones((1, kernel_size)),  # horizontal line
+            (jnp.where(jnp.arange(kernel_size)[:, None] == kernel_size // 2, 1.0, 0.0)
+             / kernel_size * jnp.ones((1, kernel_size))),  # horizontal line
             (jnp.where(jnp.arange(kernel_size)[None, :] == kernel_size // 2, 1.0, 0.0)
              / kernel_size * jnp.ones((kernel_size, 1))),  # vertical line
             eye / kernel_size,
@@ -92,18 +91,26 @@ def resize_crop(
     rgb resizes bilinear, labels nearest (reference resize_augmentation:69-121
     with the fixed_size path used by training)."""
     out = {}
-    H = next(v for v in batch.values() if hasattr(v, "shape")).shape[-2]
-    if random_crop and H > out_size:
-        off = jax.random.randint(key, (2,), 0, H - out_size + 1)
+    ref = next(v for v in batch.values()
+               if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 4)
+    H, W = ref.shape[-2], ref.shape[-1]
+    can_crop = H >= out_size and W >= out_size  # else: resize path below
+    if random_crop and can_crop:
+        kh, kw = jax.random.split(key)
+        off = jnp.stack([
+            jax.random.randint(kh, (), 0, H - out_size + 1),
+            jax.random.randint(kw, (), 0, W - out_size + 1),
+        ])
     else:
-        off = jnp.full((2,), (H - out_size) // 2) if H > out_size else jnp.zeros((2,), jnp.int32)
+        off = jnp.asarray([(max(H - out_size, 0)) // 2,
+                           (max(W - out_size, 0)) // 2], jnp.int32)
     for k, v in batch.items():
         if not hasattr(v, "shape") or v.ndim < 4:
             out[k] = v
             continue
         if v.shape[-1] == out_size and v.shape[-2] == out_size:
             out[k] = v
-        elif v.shape[-1] >= out_size:
+        elif can_crop and v.shape[-2] >= out_size and v.shape[-1] >= out_size:
             out[k] = jax.lax.dynamic_slice(
                 v,
                 (0, 0, off[0], off[1]),

@@ -54,7 +54,10 @@ def separable_gaussian(img: jax.Array, r: jax.Array, max_cutoff: int = 61) -> ja
 
 
 def compute_circle_of_confusion_no_magnification(depths, aperture, focus_distance):
-    return aperture * jnp.abs(depths - focus_distance) / depths
+    # zero-depth (invalid) pixels would give 0/0 -> NaN, which 0-weight
+    # composite levels still propagate (0 * NaN); clamp like the reference
+    # demo pipeline does before calling in
+    return aperture * jnp.abs(depths - focus_distance) / jnp.maximum(depths, 1e-3)
 
 
 def compute_quantiles(depth: jax.Array, n_quantiles: int, eps: float = 1e-4):

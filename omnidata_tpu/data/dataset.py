@@ -289,12 +289,16 @@ class OmnidataDataset:
             (va if (b, p) in val_groups else tr).append(i)
         return self.subset(tr), self.subset(va)
 
-    def batches(self, batch_size: int, shuffle: bool = True):
-        """Yield stacked numpy batches (the host loader feeding device_put)."""
+    def batches(self, batch_size: int, shuffle: bool = True,
+                drop_last: bool = True):
+        """Yield stacked numpy batches (the host loader feeding device_put).
+        drop_last=False keeps the final partial batch (eval protocols must
+        score every sample)."""
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
-        for s in range(0, len(order) - batch_size + 1, batch_size):
+        stop = (len(order) - batch_size + 1) if drop_last else len(order)
+        for s in range(0, stop, batch_size):
             items = [self[int(i)] for i in order[s : s + batch_size]]
             batch = {}
             for k in items[0]:

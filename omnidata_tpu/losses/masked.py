@@ -12,15 +12,20 @@ import jax.numpy as jnp
 
 
 def masked_l1_loss(preds: jax.Array, target: jax.Array, mask_valid: jax.Array) -> jax.Array:
-    """sum(|pred - target| over valid) / count(valid)."""
-    mask = mask_valid.astype(preds.dtype)
+    """sum(|pred - target| over valid) / count(valid).
+
+    The mask broadcasts to the input (the reference always passes a mask
+    expand_as'd to the target, masked_losses.py:4-7); the count is taken
+    over the BROADCAST mask so a (B,1,H,W) mask on (B,3,H,W) preds yields
+    the true masked mean, not 3x it."""
+    mask = jnp.broadcast_to(mask_valid, preds.shape).astype(preds.dtype)
     err = jnp.abs(preds - target) * mask
     denom = jnp.sum(mask)
     return jnp.sum(err) / jnp.maximum(denom, 1.0) * jnp.where(denom > 0, 1.0, 0.0)
 
 
 def masked_mse_loss(preds: jax.Array, target: jax.Array, mask_valid: jax.Array) -> jax.Array:
-    mask = mask_valid.astype(preds.dtype)
+    mask = jnp.broadcast_to(mask_valid, preds.shape).astype(preds.dtype)
     err = jnp.square(preds - target) * mask
     denom = jnp.sum(mask)
     return jnp.sum(err) / jnp.maximum(denom, 1.0) * jnp.where(denom > 0, 1.0, 0.0)

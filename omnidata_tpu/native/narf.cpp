@@ -662,8 +662,11 @@ void narf_debug_map(const float* depth, int H, int W, float fx, float fy,
   std::vector<RangeLevel> levels(1);
   build_level0(depth, H, W, fx, fy, cx, cy, max_range, levels[0]);
   const float deg2 = 2.0f * static_cast<float>(M_PI) / 180.0f;
+  // honor the same pyramid-depth cap as narf_interest_image, so debug maps
+  // describe the production scale space after narf_set_params
   while (0.5f * levels.back().ar < deg2 && levels.back().W >= 16 &&
-         levels.back().H >= 16) {
+         levels.back().H >= 16 &&
+         static_cast<int>(levels.size()) < g_tun.max_levels) {
     levels.emplace_back();
     build_half(levels[levels.size() - 2], levels.back());
   }

@@ -11,16 +11,36 @@ import numpy as np
 
 
 def write_ply(path: str, vertices: np.ndarray, faces: np.ndarray,
-              vertex_colors: np.ndarray | None = None) -> None:
+              vertex_colors: np.ndarray | None = None,
+              binary: bool = True) -> None:
+    """binary=True writes binary_little_endian (the reference exporter's
+    format; also hits load_ply's vectorized fast path), ascii otherwise."""
+    has_c = vertex_colors is not None
+    head = (
+        "ply\nformat {} 1.0\n".format("binary_little_endian" if binary else "ascii")
+        + f"element vertex {len(vertices)}\n"
+        + "property float x\nproperty float y\nproperty float z\n"
+        + ("property uchar red\nproperty uchar green\nproperty uchar blue\n" if has_c else "")
+        + f"element face {len(faces)}\n"
+        + "property list uchar int vertex_indices\nend_header\n"
+    )
+    if binary:
+        vt = [("xyz", "<f4", 3)] + ([("rgb", "u1", 3)] if has_c else [])
+        varr = np.zeros(len(vertices), dtype=vt)
+        varr["xyz"] = vertices
+        if has_c:
+            varr["rgb"] = (np.clip(vertex_colors, 0, 1) * 255).astype(np.uint8)
+        farr = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        farr["n"] = 3
+        farr["idx"] = faces
+        with open(path, "wb") as fh:
+            fh.write(head.encode())
+            fh.write(varr.tobytes())
+            fh.write(farr.tobytes())
+        return
     with open(path, "w") as fh:
-        fh.write("ply\nformat ascii 1.0\n")
-        fh.write(f"element vertex {len(vertices)}\n")
-        fh.write("property float x\nproperty float y\nproperty float z\n")
-        if vertex_colors is not None:
-            fh.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
-        fh.write(f"element face {len(faces)}\n")
-        fh.write("property list uchar int vertex_indices\nend_header\n")
-        if vertex_colors is not None:
+        fh.write(head)
+        if has_c:
             cols = (np.clip(vertex_colors, 0, 1) * 255).astype(np.uint8)
             for v, c in zip(vertices, cols):
                 fh.write(f"{v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
@@ -40,7 +60,8 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
 
 
 def main(argv=None):
-    argv = argv or sys.argv[1:]
+    if argv is None:
+        argv = sys.argv[1:]
     src, dst = argv
     from ..mesh import load_obj, load_ply
 

@@ -13,8 +13,17 @@ import subprocess
 
 
 def make_video(frames_dir: str, task: str, out_path: str, fps: int = 15) -> str:
+    import re
+
     pattern = os.path.join(frames_dir, f"point_*_view_*_domain_{task}.png")
-    frames = sorted(glob.glob(pattern))
+
+    def order_key(p):
+        # numeric (point, view) ordering: lexical sort puts point_10 before
+        # point_2 (view ids are zero-padded, point ids are not)
+        m = re.search(r"point_(\d+)_view_(\d+)_", os.path.basename(p))
+        return (int(m.group(1)), int(m.group(2))) if m else (1 << 30, p)
+
+    frames = sorted(glob.glob(pattern), key=order_key)
     if not frames:
         raise FileNotFoundError(f"no frames matching {pattern}")
     if shutil.which("ffmpeg"):
