@@ -50,6 +50,87 @@ _LANE_BITS = 7  # in-chunk lane id lives in the low bits (chunk <= 128)
 # winner's exact t/u/v are recomputed from the extracted geometry columns)
 
 
+def _mt_precompute(rows, ox, oy, oz):
+    """Per-chunk Möller-Trumbore invariants from 9 (1, chunk) SoA rows
+    (v0/e1/e2 xyz) and the (scalar) ray origin — shared by every kernel so
+    the epsilon/tie semantics can never drift between them."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = rows
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    rx = e2y * tvz - e2z * tvy
+    ry = e2z * tvx - e2x * tvz
+    rz = e2x * tvy - e2y * tvx
+    e2q = e2x * qx + e2y * qy + e2z * qz
+    return nx, ny, nz, qx, qy, qz, rx, ry, rz, e2q
+
+
+def _mt_packed_block(pre, dx, dy, dz, tie_mask):
+    """(pblk, chunk) packed candidate keys (t float bits | lane id) for one
+    pixel block against one precomputed chunk; misses carry _BIG."""
+    nx, ny, nz, qx, qy, qz, rx, ry, rz, e2q = pre
+    det = -(dx * nx + dy * ny + dz * nz)
+    udet = dx * rx + dy * ry + dz * rz
+    vdet = dx * qx + dy * qy + dz * qz
+
+    adet = jnp.abs(det)
+    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+    us = udet * sgn
+    vs = vdet * sgn
+    ts = e2q * sgn
+    hit = (
+        (adet >= _EPS)
+        & (us >= -_EDGE_EPS * adet)
+        & (vs >= -_EDGE_EPS * adet)
+        & (us + vs <= (1.0 + _EDGE_EPS) * adet)
+        & (ts > _EPS * adet)
+    )
+    t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+    return (ti & tie_mask) | lane
+
+
+def _mt_update_refs(packed, a, pslice, packed_out, acc_out, tie_mask):
+    """Fold one block's candidates into the ref accumulators: masked strict
+    improvement on the packed key; winner columns extracted from the chunk
+    pack `a` (COLS, chunk) by a one-hot MXU contraction."""
+    pj = jnp.min(packed, axis=1)
+    best = packed_out[0, 0, pslice]
+    improved = (pj & tie_mask) < (best & tie_mask)
+    win = (packed == pj[:, None]).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        win, a, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (pblk, COLS)
+    acc_old = acc_out[0, :, pslice]
+    acc_out[0, :, pslice] = jnp.where(improved[None, :], contrib.T, acc_old)
+    packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+
+
+def _mt_sweep_chunk_refs(a, pre_args, dir_refs, pblk, packed_out, acc_out,
+                         tie_mask):
+    """Sweep one (COLS, chunk) pack chunk over every pixel block, folding
+    into the output refs (the streamed/compact kernels' shared inner
+    loop)."""
+    ox, oy, oz = pre_args
+    rows = tuple(a[i][None, :] for i in range(9))
+    pre = _mt_precompute(rows, ox, oy, oz)
+    P = dir_refs[0].shape[2]
+    for pb in range(P // pblk):
+        pslice = slice(pb * pblk, (pb + 1) * pblk)
+        dx = dir_refs[0][0, 0, pslice][:, None]
+        dy = dir_refs[1][0, 0, pslice][:, None]
+        dz = dir_refs[2][0, 0, pslice][:, None]
+        packed = _mt_packed_block(pre, dx, dy, dz, tie_mask)
+        _mt_update_refs(packed, a, pslice, packed_out, acc_out, tie_mask)
+
+
 def _big_packed() -> jnp.int32:
     # host-computed constant: scalar tpu.bitcast is not lowerable in-kernel
     return jnp.int32(
@@ -163,48 +244,14 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
             ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
             ci = jnp.where(overflow, i, ci16)
             sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
-            v0x, v0y, v0z = sl(tri_refs[0]), sl(tri_refs[1]), sl(tri_refs[2])
-            e1x, e1y, e1z = sl(tri_refs[3]), sl(tri_refs[4]), sl(tri_refs[5])
-            e2x, e2y, e2z = sl(tri_refs[6]), sl(tri_refs[7]), sl(tri_refs[8])
-
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            nx = e1y * e2z - e1z * e2y
-            ny = e1z * e2x - e1x * e2z
-            nz = e1x * e2y - e1y * e2x
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            rx = e2y * tvz - e2z * tvy
-            ry = e2z * tvx - e2x * tvz
-            rz = e2x * tvy - e2y * tvx
-            e2q = e2x * qx + e2y * qy + e2z * qz
-
-            det = -(dx * nx + dy * ny + dz * nz)
-            udet = dx * rx + dy * ry + dz * rz
-            vdet = dx * qx + dy * qy + dz * qz
-
-            adet = jnp.abs(det)
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            us = udet * sgn
-            vs = vdet * sgn
-            ts = e2q * sgn
-            hit = (
-                (adet >= _EPS)
-                & (us >= -_EDGE_EPS * adet)
-                & (vs >= -_EDGE_EPS * adet)
-                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
-                & (ts > _EPS * adet)
-            )
-            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
-
+            pre = _mt_precompute(tuple(sl(tri_refs[i]) for i in range(9)),
+                                 ox, oy, oz)
             # tie semantics identical to the XLA reference: candidates whose
             # t agrees in all but the low 13 mantissa bits tie, and the
             # LOWEST face id wins — within a chunk via the lane id in the
             # low bits, across chunks via strict masked improvement (lists
             # are ascending in chunk id)
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-            packed = (ti & tie_mask) | lane
+            packed = _mt_packed_block(pre, dx, dy, dz, tie_mask)
             pj = jnp.min(packed, axis=1)
             improved = (pj & tie_mask) < (best & tie_mask)
 
@@ -415,62 +462,8 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     # ---- pass 2: Möller-Trumbore sweep over dense (or fallback) chunks ----
     def sweep_chunk(a):
         """One chunk's pixel sweep; outputs are the accumulators."""
-        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
-        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
-        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        rx = e2y * tvz - e2z * tvy
-        ry = e2z * tvx - e2x * tvz
-        rz = e2x * tvy - e2y * tvx
-        e2q = e2x * qx + e2y * qy + e2z * qz
-
-        for pb in range(P // pblk):
-            pslice = slice(pb * pblk, (pb + 1) * pblk)
-            dx = dir_refs[0][0, 0, pslice][:, None]
-            dy = dir_refs[1][0, 0, pslice][:, None]
-            dz = dir_refs[2][0, 0, pslice][:, None]
-
-            det = -(dx * nx + dy * ny + dz * nz)
-            udet = dx * rx + dy * ry + dz * rz
-            vdet = dx * qx + dy * qy + dz * qz
-
-            adet = jnp.abs(det)
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            us = udet * sgn
-            vs = vdet * sgn
-            ts = e2q * sgn
-            hit = (
-                (adet >= _EPS)
-                & (us >= -_EDGE_EPS * adet)
-                & (vs >= -_EDGE_EPS * adet)
-                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
-                & (ts > _EPS * adet)
-            )
-            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-            packed = (ti & tie_mask) | lane
-            pj = jnp.min(packed, axis=1)
-            best = packed_out[0, 0, pslice]
-            improved = (pj & tie_mask) < (best & tie_mask)
-
-            win = (packed == pj[:, None]).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
-                win, a, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (pblk, COLS)
-            acc_old = acc_out[0, :, pslice]
-            acc_out[0, :, pslice] = jnp.where(
-                improved[None, :], contrib.T, acc_old)
-            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+        _mt_sweep_chunk_refs(a, (ox, oy, oz), dir_refs, pblk,
+                             packed_out, acc_out, tie_mask)
 
     @pl.when(jnp.logical_not(fallback))
     def _dense():
@@ -644,66 +637,9 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
         def _prefetch():
             copy_op(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-        a = pack_buf[buf]  # (COLS, chunk)
-        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
-        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
-        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
-
-        # per-candidate precompute ONCE per chunk (not per pixel block)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        rx = e2y * tvz - e2z * tvy
-        ry = e2z * tvx - e2x * tvz
-        rz = e2x * tvy - e2y * tvx
-        e2q = e2x * qx + e2y * qy + e2z * qz
-
-        for pb in range(P // pblk):
-            pslice = slice(pb * pblk, (pb + 1) * pblk)
-            dx = dir_refs[0][0, 0, pslice][:, None]
-            dy = dir_refs[1][0, 0, pslice][:, None]
-            dz = dir_refs[2][0, 0, pslice][:, None]
-
-            det = -(dx * nx + dy * ny + dz * nz)
-            udet = dx * rx + dy * ry + dz * rz
-            vdet = dx * qx + dy * qy + dz * qz
-
-            adet = jnp.abs(det)
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            us = udet * sgn
-            vs = vdet * sgn
-            ts = e2q * sgn
-            hit = (
-                (adet >= _EPS)
-                & (us >= -_EDGE_EPS * adet)
-                & (vs >= -_EDGE_EPS * adet)
-                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
-                & (ts > _EPS * adet)
-            )
-            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-            packed = (ti & tie_mask) | lane
-            pj = jnp.min(packed, axis=1)
-            best = packed_out[0, 0, pslice]
-            improved = (pj & tie_mask) < (best & tie_mask)
-
-            win = (packed == pj[:, None]).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
-                win, a, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (pblk, COLS)
-            acc_old = acc_out[0, :, pslice]  # (COLS, pblk)
-            acc_out[0, :, pslice] = jnp.where(
-                improved[None, :], contrib.T, acc_old
-            )
-            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+        # per-candidate precompute happens ONCE per chunk inside the helper
+        _mt_sweep_chunk_refs(pack_buf[buf], (ox, oy, oz), dir_refs, pblk,
+                             packed_out, acc_out, tie_mask)
         return carry
 
     jax.lax.fori_loop(0, trip, body, 0)
@@ -811,62 +747,9 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     fallback = staged > stage_cap
 
     def sweep_chunk(a):
-        v0x, v0y, v0z = a[0][None, :], a[1][None, :], a[2][None, :]
-        e1x, e1y, e1z = a[3][None, :], a[4][None, :], a[5][None, :]
-        e2x, e2y, e2z = a[6][None, :], a[7][None, :], a[8][None, :]
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        rx = e2y * tvz - e2z * tvy
-        ry = e2z * tvx - e2x * tvz
-        rz = e2x * tvy - e2y * tvx
-        e2q = e2x * qx + e2y * qy + e2z * qz
-
-        for pb in range(P // pblk):
-            pslice = slice(pb * pblk, (pb + 1) * pblk)
-            dx = dir_refs[0][0, 0, pslice][:, None]
-            dy = dir_refs[1][0, 0, pslice][:, None]
-            dz = dir_refs[2][0, 0, pslice][:, None]
-
-            det = -(dx * nx + dy * ny + dz * nz)
-            udet = dx * rx + dy * ry + dz * rz
-            vdet = dx * qx + dy * qy + dz * qz
-
-            adet = jnp.abs(det)
-            sgn = jnp.where(det >= 0.0, 1.0, -1.0)
-            us = udet * sgn
-            vs = vdet * sgn
-            ts = e2q * sgn
-            hit = (
-                (adet >= _EPS)
-                & (us >= -_EDGE_EPS * adet)
-                & (vs >= -_EDGE_EPS * adet)
-                & (us + vs <= (1.0 + _EDGE_EPS) * adet)
-                & (ts > _EPS * adet)
-            )
-            t = jnp.where(hit, ts / jnp.maximum(adet, _EPS * _EPS), _BIG)
-
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-            packed = (ti & tie_mask) | lane
-            pj = jnp.min(packed, axis=1)
-            best = packed_out[0, 0, pslice]
-            improved = (pj & tie_mask) < (best & tie_mask)
-
-            win = (packed == pj[:, None]).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
-                win, a, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            acc_old = acc_out[0, :, pslice]
-            acc_out[0, :, pslice] = jnp.where(
-                improved[None, :], contrib.T, acc_old)
-            packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+        """One chunk's pixel sweep; outputs are the accumulators."""
+        _mt_sweep_chunk_refs(a, (ox, oy, oz), dir_refs, pblk,
+                             packed_out, acc_out, tie_mask)
 
     @pl.when(jnp.logical_not(fallback))
     def _dense():
