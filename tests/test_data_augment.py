@@ -69,6 +69,25 @@ def test_masks():
     assert bool(m[0, 0, 0, 0])
     m2 = dilate_invalid(jnp.asarray(m), 3)
     assert int((~m2).sum()) > int((~m).sum())
+    # tolerance band: 8-bit sentinels never equal the registry value exactly
+    # (normal's 0.502 is 128/255 on disk; reference masks.py:14 uses ±1e-3)
+    t3 = jnp.full((1, 3, 8, 8), 128.0 / 255.0)
+    t3 = t3.at[0, :, 0, 0].set(0.9)
+    m3 = build_mask(t3, val=0.502, max_pool_size=1)
+    assert bool(m3[0, 0, 0, 0]) and not bool(m3[0, 0, 4, 4])
+
+
+def test_make_valid_mask_strided_tiles():
+    """Reference make_valid_mask semantics (train_*.py:215-242): a strided
+    max_pool_size² TILE containing any invalid pixel is wholly invalid —
+    NOT a stride-1 window (which would invalidate a 2x wider band)."""
+    from omnidata_tpu.data.masks import make_valid_mask
+
+    mv = np.ones((1, 1, 8, 8), bool)
+    mv[0, 0, 5, 5] = False  # inside the (4:8, 4:8) tile
+    got = np.asarray(make_valid_mask(jnp.asarray(mv), 4))
+    assert not got[0, 0, 4:8, 4:8].any()  # whole tile invalid
+    assert got[0, 0, :4, :].all() and got[0, 0, 4:, :4].all()  # others valid
 
 
 # ---------------- dataset ----------------
