@@ -137,4 +137,16 @@ def load_settings(argv: list[str] | None = None, start_dir: str | None = None) -
         k, v = arg.split("=", 1)
         if k in valid:
             s = replace(s, **{k: _coerce(v)})
+    validate_settings(s)
     return s
+
+
+def validate_settings(s: Settings) -> None:
+    """Internal-consistency checks (reference validate_blender_settings,
+    load_settings.py:133-156 — minus the Blender version check, which has
+    no equivalent here)."""
+    if s.CREATE_PANOS and s.CREATE_FIXATED:
+        raise RuntimeError(
+            "Cannot create both panos and non-panos in the same run. "
+            "Either turn off panos or turn off fixated!"
+        )
