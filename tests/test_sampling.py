@@ -378,3 +378,16 @@ def test_reference_settings_knobs(tmp_path):
     # exactly one view per point rendered
     points = {os.path.basename(p).split("_")[1] for p in outs}
     assert len(outs) == len(points)
+
+    # settings validation: pano XOR fixated (reference load_settings.py:154);
+    # explicit camera reuse with no pose file must error, not resample
+    from omnidata_tpu.annotator.settings import load_settings
+
+    with pytest.raises(RuntimeError):
+        load_settings(["CREATE_PANOS=True"])  # CREATE_FIXATED defaults True
+    d2 = str(tmp_path / "nocams")
+    os.makedirs(d2)
+    write_ply(os.path.join(d2, "mesh.ply"), np.asarray(r.vertices),
+              np.asarray(r.faces[: r.num_faces]))
+    with pytest.raises(FileNotFoundError, match="GENERATE_CAMERAS"):
+        cli.run_points(d2, load_settings(["GENERATE_CAMERAS=False"]))
