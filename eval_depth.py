@@ -81,9 +81,10 @@ def main(argv=None):
         target = jnp.asarray(batch["depth_zbuffer"], jnp.float32)
         mask = jnp.asarray(batch["mask_valid"] > 0.5)
         m = depth_metrics(pred, target, mask)
+        B = int(batch["rgb"].shape[0])  # partial tail batch: weight by size
         for k, v in m.items():
-            agg[k] = agg.get(k, 0.0) + v
-        n += 1
+            agg[k] = agg.get(k, 0.0) + v * B
+        n += B
     if n == 0:
         raise SystemExit("no complete (rgb, depth_zbuffer, mask_valid) samples found")
     result = {k: v / n for k, v in agg.items()}

@@ -92,9 +92,10 @@ def main(argv=None):
         target = jnp.asarray(batch["normal"], jnp.float32) * 2.0 - 1.0
         mask = jnp.asarray(batch["mask_valid"] > 0.5)
         m = normal_metrics(pred, target, mask)
+        B = int(batch["rgb"].shape[0])  # partial tail batch: weight by size
         for k, v in m.items():
-            agg[k] = agg.get(k, 0.0) + v
-        n += 1
+            agg[k] = agg.get(k, 0.0) + v * B
+        n += B
     if n == 0:
         raise SystemExit("no complete (rgb, normal, mask_valid) samples found")
     result = {k: v / n for k, v in agg.items()}
