@@ -160,7 +160,9 @@ def _ensure_live_backend(probe_timeout: int = 300) -> None:
     a SUBPROCESS with a timeout before the parent imports jax; on failure,
     re-exec with the CPU backend so the bench reports an honest cpu number
     instead of hanging the driver forever."""
-    if os.environ.get("_BENCH_PROBED") or "jax" in sys.modules:
+    # NOTE: cannot gate on `"jax" in sys.modules` — the device plugin's
+    # sitecustomize pre-imports jax in every interpreter on this machine
+    if os.environ.get("_BENCH_PROBED"):
         return
     os.environ["_BENCH_PROBED"] = "1"
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", probe_timeout))
