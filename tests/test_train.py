@@ -108,6 +108,31 @@ def test_packed_cache_matches_direct(mini_scene_dataset, tmp_path):
     assert pack_digest(sub) != pack_digest(ds)
 
 
+def test_packed_cache_multiview(mini_scene_dataset, tmp_path):
+    """FILENAME multiview sampling (num_positive=2) over a packed dataset:
+    stacked views match the direct path for equal rng states, and the
+    seeded item() API is deterministic under threads."""
+    from omnidata_tpu.data.dataset import OmnidataDataset, Options
+    from omnidata_tpu.data.packed_cache import PackedDataset
+
+    opts = Options(
+        data_path=mini_scene_dataset, tasks=("rgb", "normal"),
+        num_positive=2, random_flip=True,
+    )
+    ds = OmnidataDataset(opts)
+    pds = PackedDataset.build(ds, str(tmp_path / "packmv"))
+    ds.rng = np.random.RandomState(5)
+    pds.rng = np.random.RandomState(5)
+    a, b = ds[0], pds[0]
+    assert a["rgb"].shape[0] == 2  # stacked views
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    np.testing.assert_array_equal(a["normal"], b["normal"])
+    # seeded access reproduces regardless of interleaving
+    x = pds.item(0, 99)
+    y = pds.item(0, 99)
+    np.testing.assert_array_equal(x["rgb"], y["rgb"])
+
+
 def test_packed_cache_bakes_hooks(mini_scene_dataset, tmp_path):
     """Component post-transform hooks (hypersim normal remap etc.) are
     applied at pack time, not re-applied at read time."""
