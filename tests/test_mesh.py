@@ -600,3 +600,51 @@ def test_pallas_small_tile_pixel_block():
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     m = np.asarray(a.valid)
     np.testing.assert_array_equal(np.asarray(a.face)[m], np.asarray(b.face)[m])
+
+
+def test_hierarchical_admission_matches_flat():
+    """Two-stage (block -> chunk) admission lists must reproduce the flat
+    per-chunk top_k admission bit for bit: same winners, same tie-breaks,
+    same counts. Forced on for a small mesh by lowering the chunk-count
+    threshold (production only engages it past 1024 chunks, where the flat
+    (K*T, n_chunks) top_k is a near-full sort that dominated 584k-face
+    renders)."""
+    from omnidata_tpu import mesh as mesh_pkg
+    from omnidata_tpu.mesh import raster as raster_mod
+    from omnidata_tpu.mesh import render_views_fused, uv_sphere
+
+    r = room(size=6.0, height=3.0)
+    s = uv_sphere(radius=0.7, center=(0.8, 0.2, 1.0), n_lat=40, n_lon=80)
+    vs = np.concatenate([np.asarray(r.vertices), np.asarray(s.vertices)])
+    fs = np.concatenate([np.asarray(r.faces[: r.num_faces]),
+                         np.asarray(s.faces[: s.num_faces])
+                         + r.vertices.shape[0]])
+    mesh = from_arrays(vs, fs)
+    locs = jnp.asarray([[1.2, 0.6, 1.3], [-0.9, 1.0, 1.5]])
+    tg = jnp.asarray([[0.4, 0.1, 0.9], [0.6, -0.4, 0.7]])
+    Rs = jax.vmap(look_at_rotation)(locs, tg)
+    # resolution 96: unique static shape so the jit cache cannot reuse a
+    # trace made with the other threshold value
+    cams = Camera(locs, Rs, jnp.asarray([1.1, 1.3]), 96)
+    attrs = mesh.vertex_normals
+
+    old = raster_mod.HIER_ADMISSION_MIN_CHUNKS
+    try:
+        raster_mod.HIER_ADMISSION_MIN_CHUNKS = 10**9  # flat
+        ref_f, ref_i = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                          interpret=True, vertex_attrs=attrs,
+                                          compact=True, ccap=24)
+        raster_mod.HIER_ADMISSION_MIN_CHUNKS = 1  # hierarchical
+        f, i = render_views_fused(cams, mesh, tile=16, chunk=64,
+                                  interpret=True, vertex_attrs=attrs,
+                                  compact=True, ccap=24)
+    finally:
+        raster_mod.HIER_ADMISSION_MIN_CHUNKS = old
+    # tile sizes differ (unique trace) -> compare decoded images, which are
+    # tile-layout independent
+    np.testing.assert_array_equal(np.asarray(f.valid), np.asarray(ref_f.valid))
+    m = np.asarray(ref_f.valid)
+    np.testing.assert_array_equal(np.asarray(f.face)[m],
+                                  np.asarray(ref_f.face)[m])
+    np.testing.assert_array_equal(np.asarray(f.t)[m], np.asarray(ref_f.t)[m])
+    np.testing.assert_array_equal(np.asarray(i)[m], np.asarray(ref_i)[m])
