@@ -16,10 +16,20 @@ full-modality demo timing.
 
 Baseline: the reference annotates its demo mesh (12 modalities, ~12 points,
 one view each) in <= ~10 min on CPU (omnidata_annotator/README.md:55) ->
-~0.02 viewpoints/sec with the full modality set. vs_baseline is measured
-against that.
+~0.02 viewpoints/sec with the full modality set. The final line's
+vs_baseline uses the honest comparator: full13_vps (all modalities incl.
+host cues) when measured, else the device-modality rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timeout-proofing (the round-3 run was killed by the driver's wall clock
+with zero JSON emitted): the headline JSON line is printed+flushed the
+moment the small-scene number exists; extras then run under a deadline
+(BENCH_DEADLINE_S from process start, default 1200 s) and are skipped —
+recorded in extra.skipped — once past it; the enriched line is printed
+last so the driver parses whichever line survives. Scene assembly is
+cached on disk (tmp/bench_scenes) and all host-side prep is numpy-only:
+on the tunneled TPU backend any stray jax op costs a remote compile.
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline"[, "extra"]}.
 """
 from __future__ import annotations
 
@@ -30,11 +40,52 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
 BASELINE_VIEWPOINTS_PER_SEC = 12.0 / 600.0  # reference demo: ~12 viewpoints / 10 min
+# A100 anchor for DPT-hybrid-384 inference (BASELINE.md "DPT anchor"):
+# measured 0.27 TFLOP/img (XLA cost analysis) / (312 TFLOP/s bf16 dense peak
+# x ~12.5% MFU typical of the reference's torch-eager timm stack at batch 8)
+# ~= 144 img/s. A perfectly-tuned A100 at our own measured MFU (~0.36)
+# would be ~416 img/s; both bounds documented in BASELINE.md.
+A100_DPT384_IMG_PER_S_EST = 144.0
+
+_SCENE_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tmp", "bench_scenes"
+)
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("BENCH_DEADLINE_S", 1200.0))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.perf_counter() - _T0)
+
+
+def _note(msg):
+    """Progress marker on stderr (stdout carries only JSON lines); makes
+    multi-minute compile stages diagnosable from the log."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+def _look_at_np(loc: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """Batched numpy twin of core.cameras.look_at_rotation (Blender TRACK_TO,
+    track -Z up Y). Numpy on purpose: bench host prep must not trigger
+    remote compiles through the TPU tunnel."""
+    fwd = tgt - loc
+    fwd /= np.maximum(np.linalg.norm(fwd, axis=-1, keepdims=True), 1e-30)
+    z = -fwd
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    x = np.cross(np.broadcast_to(up, z.shape), z)
+    xn = np.linalg.norm(x, axis=-1, keepdims=True)
+    x = np.where(xn < 1e-8, np.array([1.0, 0.0, 0.0], np.float32), x / np.where(xn < 1e-8, 1.0, xn))
+    y = np.cross(z, x)
+    y /= np.maximum(np.linalg.norm(y, axis=-1, keepdims=True), 1e-30)
+    return np.stack([x, y, z], -1).astype(np.float32)
 
 
 def _assemble(parts, rng, edge: float):
-    from omnidata_tpu.mesh import from_arrays, split_long_edges
+    from omnidata_tpu.mesh import split_long_edges
 
     vs, fs = [], []
     off = 0
@@ -48,46 +99,50 @@ def _assemble(parts, rng, edge: float):
     # and poison chunk-granular binning (mesh.split_long_edges)
     colors = rng.rand(v.shape[0], 3).astype(np.float32) * 0.6 + 0.2
     v, f, colors, _, _, _ = split_long_edges(v, f, edge, vertex_colors=colors)
-    return from_arrays(v, f, vertex_colors=colors)
+    return v, f, colors
 
 
-def _baked_curvature(mesh, rings: int = 1):
-    """bake_curvature_colors with an on-disk cache keyed on the mesh
-    geometry digest (the large scene's bake is ~1.5 s of host work since
-    the vectorized quadric fit; the cache keeps reruns free)."""
-    import hashlib
+def _cached_scene(name: str, build_arrays):
+    """Disk-cached assembled scene: (mesh, curvature-colored mesh).
 
-    import jax.numpy as jnp
-
+    build_arrays() -> (v, f, colors). The baked curvature colors are cached
+    alongside so reruns skip both the edge split and the quadric fit; the
+    cache key is just the scene name + a version tag (the builders are
+    deterministic seeded generators)."""
     from omnidata_tpu.cues.curvature import bake_curvature_colors
+    from omnidata_tpu.mesh import from_arrays
 
-    v = np.asarray(mesh.vertices)
-    key = hashlib.md5(
-        v[:: max(1, len(v) // 4096)].tobytes()
-        + np.asarray([mesh.num_faces, rings]).tobytes()
-    ).hexdigest()
-    cache = f"/tmp/omnidata_bench_curv_{key}.npy"
-    if os.path.exists(cache):
-        return mesh._replace(vertex_colors=jnp.asarray(np.load(cache)))
-    baked = bake_curvature_colors(mesh, rings=rings)
-    np.save(cache, np.asarray(baked.vertex_colors))
-    return baked
+    os.makedirs(_SCENE_CACHE_DIR, exist_ok=True)
+    path = os.path.join(_SCENE_CACHE_DIR, f"{name}_v1.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        v, f, colors, curv_colors = z["v"], z["f"], z["colors"], z["curv"]
+        mesh = from_arrays(v, f, vertex_colors=colors)
+        return mesh, mesh._replace(vertex_colors=curv_colors)
+    v, f, colors = build_arrays()
+    mesh = from_arrays(v, f, vertex_colors=colors)
+    curv = bake_curvature_colors(mesh, rings=1)
+    np.savez(path, v=v, f=f, colors=colors,
+             curv=np.asarray(curv.vertex_colors))
+    return mesh, curv
 
 
 def build_scene(seed: int = 0, n_spheres: int = 4, n_boxes: int = 5):
     """Small scene: 39,744 triangles."""
     from omnidata_tpu.mesh import cube, room, uv_sphere
 
-    rng = np.random.RandomState(seed)
-    parts = [room(size=10.0, height=3.2)]
-    for _ in range(n_spheres):
-        c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5), rng.uniform(0.4, 1.2))
-        parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c, n_lat=48, n_lon=96))
-    for _ in range(n_boxes):
-        c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0), rng.uniform(0.3, 1.0))
-        parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
-    mesh = _assemble(parts, rng, edge=0.8)
-    return mesh, _baked_curvature(mesh)
+    def arrays():
+        rng = np.random.RandomState(seed)
+        parts = [room(size=10.0, height=3.2)]
+        for _ in range(n_spheres):
+            c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5), rng.uniform(0.4, 1.2))
+            parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c, n_lat=48, n_lon=96))
+        for _ in range(n_boxes):
+            c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0), rng.uniform(0.3, 1.0))
+            parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
+        return _assemble(parts, rng, edge=0.8)
+
+    return _cached_scene(f"small_{seed}_{n_spheres}_{n_boxes}", arrays)
 
 
 def build_large_scene(seed: int = 0):
@@ -96,25 +151,23 @@ def build_large_scene(seed: int = 0):
     cross-validated 400/400 against the brute raycaster)."""
     from omnidata_tpu.mesh import cube, room, uv_sphere
 
-    rng = np.random.RandomState(seed)
-    parts = [room(size=10.0, height=3.2)]
-    for _ in range(8):
-        c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5), rng.uniform(0.4, 1.2))
-        parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c,
-                               n_lat=96, n_lon=192))
-    for _ in range(12):
-        c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0), rng.uniform(0.3, 1.0))
-        parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
-    mesh = _assemble(parts, rng, edge=0.08)
-    return mesh, _baked_curvature(mesh)
+    def arrays():
+        rng = np.random.RandomState(seed)
+        parts = [room(size=10.0, height=3.2)]
+        for _ in range(8):
+            c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5), rng.uniform(0.4, 1.2))
+            parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c,
+                                   n_lat=96, n_lon=192))
+        for _ in range(12):
+            c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0), rng.uniform(0.3, 1.0))
+            parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
+        return _assemble(parts, rng, edge=0.08)
+
+    return _cached_scene(f"large_{seed}", arrays)
 
 
-def sample_cameras(n: int, seed: int = 1, resolution: int = 512):
-    import jax
-    import jax.numpy as jnp
-
-    from omnidata_tpu.core import Camera, look_at_rotation
-
+def sample_cameras_np(n: int, seed: int = 1):
+    """(locations, rotations, fovs) as numpy — device-free host prep."""
     rng = np.random.RandomState(seed)
     locs = np.stack(
         [
@@ -128,18 +181,19 @@ def sample_cameras(n: int, seed: int = 1, resolution: int = 512):
         [rng.uniform(-4, 4, n), rng.uniform(-4, 4, n), rng.uniform(0.3, 2.5, n)], -1
     ).astype(np.float32)
     fovs = rng.uniform(0.7, 1.4, n).astype(np.float32)
-    Rs = jax.vmap(look_at_rotation)(jnp.asarray(locs), jnp.asarray(tgts))
-    return [
-        Camera(jnp.asarray(locs[i]), Rs[i], jnp.asarray(fovs[i]), resolution)
-        for i in range(n)
-    ]
+    return locs, _look_at_np(locs, tgts), fovs
 
 
+def _camera_batch(cams_np, idx, res):
+    import jax.numpy as jnp
 
-def _note(msg):
-    """Progress marker on stderr (stdout carries only the final JSON line);
-    makes multi-minute compile stages diagnosable from the log."""
-    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+    from omnidata_tpu.core import Camera
+
+    locs, Rs, fovs = cams_np
+    idx = np.asarray(list(idx))
+    return Camera(jnp.asarray(locs[idx]), jnp.asarray(Rs[idx]),
+                  jnp.asarray(fovs[idx]), res)
+
 
 def _enable_compile_cache():
     """Persistent XLA compile cache (tmp/xla_cache, shared with the test
@@ -191,7 +245,6 @@ def main():
     _enable_compile_cache()
 
     from omnidata_tpu.annotator import annotate_view, annotate_views
-    from omnidata_tpu.core import Camera
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -207,24 +260,12 @@ def main():
     _note("building small scene")
     mesh, curv = build_scene()
     n_faces = mesh.num_faces
-    cams = sample_cameras(n_views + K, resolution=res)
-
-    def batch(idx):
-        """Device-resident camera batch (built OUTSIDE the timed region —
-        camera generation is point_info loading in the reference, not part
-        of the render loop being measured)."""
-        import numpy as _np
-
-        return Camera(
-            jnp.asarray(_np.stack([_np.asarray(cams[i].location) for i in idx])),
-            jnp.asarray(_np.stack([_np.asarray(cams[i].R) for i in idx])),
-            jnp.asarray(_np.stack([_np.asarray(cams[i].fov) for i in idx])),
-            res,
-        )
+    cams_np = sample_cameras_np(n_views + K)
 
     kw = dict(tile=tile, cap=cap, chunk=chunk)
     batches = [
-        jax.block_until_ready(batch(range(K + bi * K, K + (bi + 1) * K)))
+        jax.block_until_ready(
+            _camera_batch(cams_np, range(K + bi * K, K + (bi + 1) * K), res))
         for bi in range(n_batches)
     ]
 
@@ -232,9 +273,12 @@ def main():
     # tunneled backends may only confirm enqueue)
     _note(f"compiling small-scene annotate program ({backend})")
     if on_tpu:
-        out = annotate_views(batch(range(K)), mesh, curv, **kw)
+        out = annotate_views(_camera_batch(cams_np, range(K), res), mesh, curv, **kw)
     else:
-        out = annotate_view(cams[0], mesh, curv, use_pallas=False, **kw)
+        from omnidata_tpu.core import Camera
+        cam0 = Camera(jnp.asarray(cams_np[0][0]), jnp.asarray(cams_np[1][0]),
+                      jnp.asarray(cams_np[2][0]), res)
+        out = annotate_view(cam0, mesh, curv, use_pallas=False, **kw)
     float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
 
     # accumulate a data-dependent scalar per batch so the final host fetch
@@ -247,8 +291,11 @@ def main():
             out = annotate_views(batches[bi], mesh, curv, **kw)
             acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
         else:
+            from omnidata_tpu.core import Camera
             for i in range(K + bi * K, K + (bi + 1) * K):
-                out = annotate_view(cams[i], mesh, curv, use_pallas=False, **kw)
+                cam = Camera(jnp.asarray(cams_np[0][i]), jnp.asarray(cams_np[1][i]),
+                             jnp.asarray(cams_np[2][i]), res)
+                out = annotate_view(cam, mesh, curv, use_pallas=False, **kw)
                 acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
     _ = int(acc)  # host fetch: upper bound on all device work
     dt = time.perf_counter() - t0
@@ -260,24 +307,42 @@ def main():
         "unit": "viewpoints/s",
         "vs_baseline": round(vps / BASELINE_VIEWPOINTS_PER_SEC, 1),
     }
+    # Flush the headline the moment it exists: if a later extra blows the
+    # driver's wall clock, this line is already on stdout.
+    print(json.dumps(result), flush=True)
 
     if on_tpu and not os.environ.get("BENCH_FAST"):
         extra = {}
+        skipped = []
+        # (name, fn, rough worst-case seconds incl. a cold remote compile)
         extras = [
-            ("large_scene", bench_large_scene),
-            ("full13", lambda: bench_full13(mesh, curv, cams[:K], res, kw)),
-            ("dpt", bench_dpt_inference),
+            ("large_scene", bench_large_scene, 420.0),
+            ("full13", lambda: bench_full13(mesh, curv, batches[0],
+                                            cams_np, K, res, kw), 240.0),
+            ("dpt", bench_dpt_inference, 300.0),
         ]
         if os.environ.get("BENCH_TRAIN"):  # opt-in: one more slow compile
-            extras.append(("train", bench_train_step))
-        for name, fn in extras:
+            extras.append(("train", bench_train_step, 600.0))
+        for name, fn, est in extras:
+            if _remaining() < est:
+                _note(f"skipping extra {name}: {_remaining():.0f}s left < {est:.0f}s budget")
+                skipped.append(name)
+                continue
             try:
                 _note(f"extra: {name}")
                 extra.update(fn())
             except Exception as e:  # extras must never cost the main metric
                 extra[f"{name}_error"] = repr(e)[:200]
+        if skipped:
+            extra["skipped"] = skipped
+        extra["device10_vs_baseline"] = result["vs_baseline"]
+        if "full13_vps" in extra:
+            # honest comparator: all 13 modalities vs the reference's
+            # 12-modality demo rate (VERDICT r3 #4)
+            result["vs_baseline"] = round(
+                extra["full13_vps"] / BASELINE_VIEWPOINTS_PER_SEC, 1)
         result["extra"] = extra
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 def bench_large_scene(n_batches: int = 4):
@@ -291,9 +356,9 @@ def bench_large_scene(n_batches: int = 4):
     _note("building large scene")
     mesh, curv = build_large_scene()
     K, tile, ccap, res = 8, 32, 192, 512
-    cams = sample_cameras(K * (n_batches + 1), seed=3, resolution=res)
+    cams_np = sample_cameras_np(K * (n_batches + 1), seed=3)
     batches = [
-        jax.block_until_ready(_camera_batch(cams, range(K * b, K * (b + 1)), res))
+        jax.block_until_ready(_camera_batch(cams_np, range(K * b, K * (b + 1)), res))
         for b in range(n_batches + 1)
     ]
     kw = dict(tile=tile, cap=1024, chunk=128, ccap=ccap, streamed=True)
@@ -313,28 +378,23 @@ def bench_large_scene(n_batches: int = 4):
     }
 
 
-def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
+def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
     """Full 13-modality rate: the 10 device modalities + the 3 host cues
     (keypoints3d / segment_unsup2d / segment_unsup25d) computed on a worker
     pool from the in-flight device outputs — the same overlap the CLI's
     `--task all` uses; apples-to-apples with the reference's 12-modality
     demo timing (omnidata_annotator/README.md:55).
 
-    The host cues are CPU-bound (~1-3 s/view on one core), so this number
-    scales with host cores: a process pool is used when >1 CPU is present
-    (numpy/scipy segments of segment_2d/25d hold the GIL); full13_host_cpus
-    records the denominator."""
+    Reuses the headline's already-compiled K-view program (batch0) — zero
+    extra compiles. The host cues are CPU-bound (~1-3 s/view per core), so
+    on this 1-core box the rate is host-pinned; full13_host_cpus records
+    the denominator. One K-view batch keeps the extra inside ~2 min."""
     import jax
     import jax.numpy as jnp
 
     from omnidata_tpu.annotator import annotate_views
 
-    K = len(cams)
-    batches = [
-        jax.block_until_ready(_camera_batch(cams, range(K), res))
-        for _ in range(n_batches)
-    ]
-    fovs = [float(np.asarray(c.fov)) for c in cams]
+    fovs = [float(cams_np[2][i]) for i in range(K)]
 
     # same spawn'd CPU-pinned pool the CLI's --task all path uses (single
     # source of truth for the accelerator-gate handling)
@@ -342,32 +402,19 @@ def bench_full13(mesh, curv, cams, res, kw, n_batches: int = 4):
 
     pool = _make_host_cue_pool()
 
-    out = annotate_views(batches[0], mesh, curv, **kw)  # compile + warm
-    float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
     needed = ("depth_zbuffer", "rgb", "normal", "edge_occlusion")
     t0 = time.perf_counter()
     futures = []
     with pool:
-        prev = None
-        for b in batches:
-            out = annotate_views(b, mesh, curv, **kw)
-            if prev is not None:
-                out_np = jax.device_get({t: prev[t] for t in needed})
-                for vi in range(K):
-                    futures.append(pool.submit(
-                        _host_cues, {t: out_np[t][vi] for t in needed},
-                        fovs[vi], res,
-                    ))
-            prev = out
-        out_np = jax.device_get({t: prev[t] for t in needed})
+        out = annotate_views(batch0, mesh, curv, **kw)
+        out_np = jax.device_get({t: out[t] for t in needed})
         for vi in range(K):
             futures.append(pool.submit(
-                _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi],
-                res))
+                _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi], res))
         for f in futures:
             f.result()
     dt = time.perf_counter() - t0
-    return {"full13_vps": round(n_batches * K / dt, 2),
+    return {"full13_vps": round(K / dt, 2),
             "full13_host_cpus": os.cpu_count() or 1}
 
 
@@ -384,19 +431,6 @@ def _host_cues(arrs, fov, res):
                self_edge_weight=2.0)
     segment_25d(arrs["depth_zbuffer"], arrs["normal"],
                 arrs["edge_occlusion"])
-
-
-def _camera_batch(cams, idx, res):
-    import jax.numpy as jnp
-
-    from omnidata_tpu.core import Camera
-
-    return Camera(
-        jnp.asarray(np.stack([np.asarray(cams[i].location) for i in idx])),
-        jnp.asarray(np.stack([np.asarray(cams[i].R) for i in idx])),
-        jnp.asarray(np.stack([np.asarray(cams[i].fov) for i in idx])),
-        res,
-    )
 
 
 def bench_train_step(batch: int = 8, n_iters: int = 10):
@@ -456,8 +490,8 @@ def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
     bilinear resizes in all four refinenets, and the 2x-upsampled 384->768
     head convs' memory traffic — runs on the VPU/HBM at the same speed in
     either dtype, so Amdahl caps the end-to-end ratio near 1.8-1.9x at
-    batch 8. The absolute target is the headline anyway: 259 img/s/chip
-    bf16 vs the A100 reference point."""
+    batch 8. dpt384_vs_a100_est reports the ratio against the documented
+    A100 anchor (BASELINE.md: ~144 img/s, torch-eager-stack estimate)."""
     import jax.numpy as jnp
 
     from omnidata_tpu.models.registry import dpt_hybrid_384
@@ -499,6 +533,9 @@ def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
                 else peak_bf16 / 2.0
             if peak:
                 out[f"dpt384_{dt}_mfu"] = round(tflops / peak, 3)
+    if "dpt384_bfloat16_img_per_s" in out:
+        out["dpt384_vs_a100_est"] = round(
+            out["dpt384_bfloat16_img_per_s"] / A100_DPT384_IMG_PER_S_EST, 2)
     return out
 
 
