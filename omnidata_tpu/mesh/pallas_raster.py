@@ -839,7 +839,25 @@ def raster_tiles_pallas_streamed(
     # chunk-major: (NC, COLS, chunk) so each chunk is one contiguous block
     pack3 = pack.reshape(COLS, n_chunks_total, chunk).transpose(1, 0, 2)
 
+    # VMEM budget check (~16 MB/core on v5e): the staging scratch grows
+    # linearly with the vertex-attribute count ((stage_cap/chunk+1) x COLS x
+    # chunk f32) and would otherwise only fail at Mosaic compile time with
+    # an opaque error. 2x on the dir/out blocks: pallas double-buffers
+    # grid-mapped blocks.
     compacting = bbox_words is not None
+    stage_rows = (stage_cap // chunk + 1) if compacting else 0
+    vmem_est = 4 * (
+        2 * COLS * chunk                  # pack_buf double buffer
+        + stage_rows * COLS * chunk       # compaction staging scratch
+        + (2 * 8 * chunk if compacting else 0)  # bbox_buf
+        + 2 * (3 * P)                     # dir blocks
+        + 2 * (1 + COLS) * P              # packed + acc out blocks
+    )
+    assert vmem_est <= 12 * 1024 * 1024, (
+        f"streamed raster kernel needs ~{vmem_est / 1e6:.1f} MB of VMEM "
+        f"(limit ~16 MB): lower stage_cap (={stage_cap}), the tile size "
+        f"(P={P}) or the vertex-attribute count (COLS={COLS})"
+    )
     extra_in, extra_scratch = [], []
     if compacting:
         assert stage_cap % chunk == 0

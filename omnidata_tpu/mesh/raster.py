@@ -392,9 +392,66 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
     return jnp.concatenate(cols, 1)
 
 
+def admission_lists(overlap, true_counts, ccap: int, hier: bool):
+    """Per-tile ascending chunk-id lists from the (rows, n_chunks) overlap
+    matrix. Returns (ids (rows, ccap), counts (rows,)); counts == -1 marks
+    overflow rows where the kernel scans all chunks instead.
+
+    hier=False: one exact top_k over the full key matrix.
+    hier=True: hierarchical exact admission — lax.top_k over the full
+    (rows, n_chunks) key matrix is a near-full sort; on a 584k-face scan
+    (4570 chunks x 2048 tile rows) it dominated the whole render (~9.4M
+    keys/dispatch). Two stages cut the sorted width ~3-12x while staying
+    candidate-complete: (1) top_k over 8-chunk Morton BLOCKS (any-overlap),
+    (2) exact per-chunk top_k over only the admitted blocks' expanded chunk
+    ids. bcap == ccap, so the block stage can never introduce an overflow
+    the chunk stage wouldn't already hit (bcount > ccap implies
+    true_counts > ccap): tiles whose geometry is scattered across many
+    Morton blocks keep exact short lists instead of falling off a
+    scan-all-chunks cliff (the old bcap = ccap/4 floor-48 sent p99 tiles —
+    86 chunks/tile on the bench scan — down that cliff).
+
+    Both paths produce IDENTICAL ids/counts for rows where neither
+    overflows (tests compare them directly)."""
+    rows, n_chunks = overlap.shape
+    counts = jnp.where(true_counts > ccap, -1, true_counts)
+    if not hier:
+        ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
+        keys = jnp.where(overlap, 2 * n_chunks - ci_iota, -ci_iota)
+        vals, idx = jax.lax.top_k(keys, min(ccap, n_chunks))
+        ids = jnp.where(vals > n_chunks, idx, 0)  # ascending chunk ids first
+        if n_chunks < ccap:
+            ids = jnp.pad(ids, ((0, 0), (0, ccap - n_chunks)))
+        return ids, counts
+    ab = 8
+    ncb = -(-n_chunks // ab)
+    ovb = jnp.pad(overlap, ((0, 0), (0, ncb * ab - n_chunks)))
+    ovb_any = ovb.reshape(rows, ncb, ab).any(-1)
+    bcount = ovb_any.sum(-1)
+    bcap = min(ccap, ncb)
+    bi = jnp.arange(ncb, dtype=jnp.int32)
+    bkeys = jnp.where(ovb_any, 2 * ncb - bi, -bi)
+    bvals, bidx = jax.lax.top_k(bkeys, bcap)  # ascending block ids first
+    blist = jnp.where(bvals > ncb, bidx, ncb)  # pad -> zero-bit sentinel
+    cand = (blist[:, :, None] * ab
+            + jnp.arange(ab, dtype=jnp.int32)).reshape(rows, bcap * ab)
+    ov2p = jnp.pad(overlap, ((0, 0), (0, (ncb + 1) * ab - n_chunks)))
+    ovc = jnp.take_along_axis(ov2p, cand, axis=1)  # (rows, bcap*ab)
+    ca = bcap * ab
+    ai = jnp.arange(ca, dtype=jnp.int32)
+    keys2 = jnp.where(ovc, 2 * ca - ai, -ai)
+    k2 = min(ccap, ca)
+    vals2, idx2 = jax.lax.top_k(keys2, k2)
+    ids = jnp.where(vals2 > ca, jnp.take_along_axis(cand, idx2, 1), 0)
+    if k2 < ccap:
+        ids = jnp.pad(ids, ((0, 0), (0, ccap - k2)))
+    counts = jnp.where((true_counts > k2) | (bcount > bcap), -1, true_counts)
+    return ids, counts
+
+
 @partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret",
                                    "ccap", "streamed", "compact",
-                                   "stage_cap"))
+                                   "stage_cap", "hier_min_chunks"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -407,6 +464,7 @@ def render_views_fused(
     streamed: bool = False,
     compact: bool | None = None,
     stage_cap: int | None = None,
+    hier_min_chunks: int | None = None,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
@@ -498,48 +556,11 @@ def render_views_fused(
                      preferred_element_type=jnp.float32)  # (K*NC,Ty,Tx)
     overlap = (cnt > 0).reshape(K, n_chunks, T).transpose(0, 2, 1)  # (K,T,NC)
     true_counts = overlap.sum(-1)
-    counts = jnp.where(true_counts > ccap, -1, true_counts).reshape(K * T)
-    if n_chunks > HIER_ADMISSION_MIN_CHUNKS:
-        # hierarchical exact admission: lax.top_k over the full (K*T,
-        # n_chunks) key matrix is a near-full sort — on a 584k-face scan
-        # (4570 chunks x 2048 tile rows) it dominated the whole render
-        # (~9.4M keys/dispatch). Two stages cut the sorted width ~10x while
-        # staying candidate-complete: (1) top_k over 8-chunk Morton BLOCKS
-        # (any-overlap), (2) exact per-chunk top_k over only the admitted
-        # blocks' expanded chunk ids. A tile whose overlapping blocks
-        # exceed bcap falls back to counts=-1 (kernel scans all chunks) —
-        # same overflow contract as ccap.
-        ab = 8
-        ncb = -(-n_chunks // ab)
-        ov2 = overlap.reshape(K * T, n_chunks)
-        ovb = jnp.pad(ov2, ((0, 0), (0, ncb * ab - n_chunks)))
-        ovb_any = ovb.reshape(K * T, ncb, ab).any(-1)
-        bcount = ovb_any.sum(-1)
-        bcap = min(max(ccap // 4, 48), ncb)
-        bi = jnp.arange(ncb, dtype=jnp.int32)
-        bkeys = jnp.where(ovb_any, 2 * ncb - bi, -bi)
-        bvals, bidx = jax.lax.top_k(bkeys, bcap)  # ascending block ids first
-        blist = jnp.where(bvals > ncb, bidx, ncb)  # pad -> zero-bit sentinel
-        cand = (blist[:, :, None] * ab
-                + jnp.arange(ab, dtype=jnp.int32)).reshape(K * T, bcap * ab)
-        ov2p = jnp.pad(ov2, ((0, 0), (0, (ncb + 1) * ab - n_chunks)))
-        ovc = jnp.take_along_axis(ov2p, cand, axis=1)  # (K*T, bcap*ab)
-        ca = bcap * ab
-        ai = jnp.arange(ca, dtype=jnp.int32)
-        keys2 = jnp.where(ovc, 2 * ca - ai, -ai)
-        k2 = min(ccap, ca)
-        vals2, idx2 = jax.lax.top_k(keys2, k2)
-        ids = jnp.where(vals2 > ca, jnp.take_along_axis(cand, idx2, 1), 0)
-        if k2 < ccap:
-            ids = jnp.pad(ids, ((0, 0), (0, ccap - k2)))
-        counts = jnp.where(
-            (true_counts.reshape(K * T) > k2) | (bcount > bcap), -1,
-            true_counts.reshape(K * T))
-    else:
-        ci_iota = jnp.arange(n_chunks, dtype=jnp.int32)
-        keys = jnp.where(overlap, 2 * n_chunks - ci_iota, -ci_iota)
-        vals, idx = jax.lax.top_k(keys, ccap)  # ascending chunk ids first
-        ids = jnp.where(vals > n_chunks, idx, 0).reshape(K * T, ccap)
+    ids, counts = admission_lists(
+        overlap.reshape(K * T, n_chunks), true_counts.reshape(K * T), ccap,
+        hier=n_chunks > (HIER_ADMISSION_MIN_CHUNKS
+                         if hier_min_chunks is None else hier_min_chunks),
+    )
     assert n_chunks < (1 << 16), "chunk ids are packed as 16-bit pairs"
     smem_bytes = K * T * (((ccap + 1) // 2) + 2) * 4  # clist + counts + slack
     assert smem_bytes <= 900_000, (

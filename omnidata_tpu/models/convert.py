@@ -56,6 +56,11 @@ def _dpt_mapping(vit_blocks: int = 12, layers=(3, 4, 9)) -> Iterator[tuple]:
         yield (f"{fb}/mlp/fc1", f"{base}.mlp.fc1", "linear")
         yield (f"{fb}/mlp/fc2", f"{base}.mlp.fc2", "linear")
     yield ("norm", f"{pm}.norm", "ln")
+    # timm's ImageNet classifier head: present in the published
+    # omnidata_dpt_*_v2.ckpt files (vit.py:483 create_model defaults to
+    # num_classes=1000 and demo.py:72 load_state_dict is strict) but never
+    # executed by DPT.forward; consume + drop.
+    yield (None, f"{pm}.head", ("linear_drop", (1000, 768)))
     # readout + postprocess (act_postprocess3/4: [ProjectReadout, Transpose,
     # Unflatten, Conv1x1, (Conv3x3 s2 for 4)] — vit.py:432-460)
     yield ("readout3/project", "pretrained.act_postprocess3.0.project.0", "linear")
@@ -120,7 +125,9 @@ def _convert(mapping, state_dict: dict) -> dict:
         return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
     for flax_path, tkey, kind in mapping:
-        if kind == "conv_drop" or (isinstance(kind, tuple) and kind[0] == "conv_drop"):
+        if kind == "conv_drop" or (
+            isinstance(kind, tuple) and kind[0] in ("conv_drop", "linear_drop")
+        ):
             take(f"{tkey}.weight")
             if f"{tkey}.bias" in state_dict:
                 take(f"{tkey}.bias")
@@ -204,7 +211,9 @@ def synthesize_torch_state_dict(mapping, flax_params: dict) -> dict:
         }
     sd = {}
     for flax_path, tkey, kind in mapping:
-        if kind == "conv_drop" or (isinstance(kind, tuple) and kind[0] == "conv_drop"):
+        if kind == "conv_drop" or (
+            isinstance(kind, tuple) and kind[0] in ("conv_drop", "linear_drop")
+        ):
             # params unused by our forward; synthesize zeros
             shape = kind[1] if isinstance(kind, tuple) else (256, 256, 3, 3)
             sd[f"{tkey}.weight"] = np.zeros(shape, np.float32)

@@ -155,6 +155,79 @@ def test_dpt_converter_roundtrip(dpt_small_variables):
         np.testing.assert_array_equal(np.asarray(da[k]), np.asarray(db[k]), err_msg=k)
 
 
+def _published_dpt_ckpt_keys():
+    """The EXACT key set of the published omnidata_dpt_{depth,normal}_v2.ckpt
+    state dicts after demo.py:64-72's 'model.' strip — derived INDEPENDENTLY
+    of convert._dpt_mapping, from the module tree the checkpoint was saved
+    from: timm-0.4.12 vit_base_resnet50_384 (requirements.txt pins 0.4.12;
+    vit.py:483 create_model with default num_classes=1000 so the unused
+    classifier head is included; ResNetV2(preact=False, stem_type='same')
+    gives stem.conv/stem.norm, per-block conv1-3/norm1-3 and block-0
+    downsample.conv/.norm, and an Identity final norm) wrapped by
+    _make_vit_b_rn50_backbone's act_postprocess3/4 (vit.py:430-461; 1/2 are
+    param-free Identities in hybrid mode) + blocks.py _make_scratch
+    (layer*_rn bias=False) + FeatureFusionBlock_custom + dpt_depth.py head.
+    demo.py:72 load_state_dict is strict, so this set is exhaustive."""
+    ks = ["pretrained.model.cls_token", "pretrained.model.pos_embed"]
+
+    def wb(base):  # weight + bias
+        return [f"{base}.weight", f"{base}.bias"]
+
+    bb = "pretrained.model.patch_embed.backbone"
+    ks += [f"{bb}.stem.conv.weight"] + wb(f"{bb}.stem.norm")
+    for s, n_blocks in enumerate((3, 4, 9)):
+        for b in range(n_blocks):
+            base = f"{bb}.stages.{s}.blocks.{b}"
+            if b == 0:
+                ks += [f"{base}.downsample.conv.weight"] + wb(f"{base}.downsample.norm")
+            for i in (1, 2, 3):
+                ks += [f"{base}.conv{i}.weight"] + wb(f"{base}.norm{i}")
+    ks += wb("pretrained.model.patch_embed.proj")
+    for i in range(12):
+        base = f"pretrained.model.blocks.{i}"
+        for m in ("norm1", "attn.qkv", "attn.proj", "norm2", "mlp.fc1", "mlp.fc2"):
+            ks += wb(f"{base}.{m}")
+    ks += wb("pretrained.model.norm") + wb("pretrained.model.head")
+    for i, extra in ((3, False), (4, True)):
+        ks += wb(f"pretrained.act_postprocess{i}.0.project.0")
+        ks += wb(f"pretrained.act_postprocess{i}.3")
+        if extra:
+            ks += wb(f"pretrained.act_postprocess{i}.4")
+    for i in (1, 2, 3, 4):
+        ks += [f"scratch.layer{i}_rn.weight"]
+        for u in (1, 2):
+            for c in (1, 2):
+                ks += wb(f"scratch.refinenet{i}.resConfUnit{u}.conv{c}")
+        ks += wb(f"scratch.refinenet{i}.out_conv")
+    for i in (0, 2, 4):
+        ks += wb(f"scratch.output_conv.{i}")
+    return set(ks)
+
+
+def test_dpt_converter_matches_published_key_schema(dpt_small_variables):
+    """convert_dpt must consume the published checkpoints' exact key-name
+    set (VERDICT r3 #6): synthesize a state dict, check its key set equals
+    the independently-derived published schema, wrap it exactly like a
+    Lightning ckpt (train_depth.py saves model.* under 'state_dict'), and
+    convert it byte-for-byte."""
+    _, variables = dpt_small_variables
+    sd = synthesize_torch_state_dict(_dpt_mapping(), variables)
+    assert set(sd) == _published_dpt_ckpt_keys()
+    # unused-classifier-head shape as timm creates it (Linear 768 -> 1000)
+    assert sd["pretrained.model.head.weight"].shape == (1000, 768)
+    ckpt = {"state_dict": {f"model.{k}": torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()},
+            "epoch": 0, "global_step": 0}
+    back = convert_dpt(ckpt["state_dict"])
+    da = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(variables["params"])}
+    db = {jax.tree_util.keystr(p): v
+          for p, v in jax.tree_util.tree_leaves_with_path(back["params"])}
+    assert set(da) == set(db)
+    for k in da:
+        np.testing.assert_array_equal(np.asarray(da[k]), np.asarray(db[k]), err_msg=k)
+
+
 def test_unet_converter_covers_all_torch_keys(ref_modules):
     TorchUNet = ref_modules
     sd = TorchUNet(in_channels=3, out_channels=3).state_dict()
