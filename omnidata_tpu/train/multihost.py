@@ -49,10 +49,16 @@ def initialize(
 
     # jax.distributed.initialize() must run BEFORE anything initializes the
     # XLA backend, so TPU-pod detection must not call jax.default_backend()
-    # (jax 0.9 raises 'must be called before any JAX calls' otherwise) —
-    # use the platform env var instead
-    plat = os.environ.get("JAX_PLATFORMS", "").lower()
-    on_tpu_pod = "tpu" in plat and coordinator_address is None
+    # (jax 0.9 raises 'must be called before any JAX calls' otherwise).
+    # Positive pod evidence is required: JAX_PLATFORMS=tpu alone also holds
+    # on a SINGLE TPU host (or a tunneled dev box), where a bare
+    # jax.distributed.initialize() would block on a metadata server that
+    # does not exist. Cloud TPU only sets TPU_WORKER_HOSTNAMES /
+    # MEGASCALE_COORDINATOR_ADDRESS on real multi-host slices.
+    on_tpu_pod = coordinator_address is None and (
+        os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    )
     if not on_tpu_pod and coordinator_address is None:
         return False  # single-process
     jax.distributed.initialize(
