@@ -20,6 +20,26 @@ reference's own decode configuration (see test_golden_labels.py).
 Contract matches the reference driver: depth in meters (16-bit code *
 sensitivity), focal from FOV, support size in meters (settings.py:115),
 output interest in [0,1], scaled by 2^16 into a 16-bit PNG.
+
+Why this cue stays on the host (device-path analysis, round 4): the
+pyramid + border extraction + surface-change stages are convolution-shaped
+and would map to the TPU cleanly, but the interest computation itself
+(_interest_level, pcl_narf.hpp:330-470) is a per-pixel region growing: a
+BFS from each seed over the range image that stops at border pixels and at
+the support_size/2 3D radius, feeding 18-bin direction histograms of the
+GROWN region. The frontier is data-dependent in both size and shape —
+under jit it would need a bounded lax.while_loop over a worst-case
+(support-radius)^2 window per pixel with a connectivity mask recomputed
+per step, i.e. O(window^2) work per pixel of mostly-masked lanes, and the
+golden-parity contract (corr 0.60-0.68 vs published hm3d labels) rules out
+the cheap approximation (fixed-window gather without connectivity, which
+bleeds interest across occlusion borders — exactly the structure NARF
+exists to respect). Measured host split on 512^2 (1 core): keypoints3d
+native 1.9 s vs segment_25d 1.7 s + segment_2d 0.5 s — so round 4 instead
+removed the scipy.sparse overhead from the ncut recursion shared by BOTH
+segmentation cues (segmentation.py cut_normalized dense path: 2.5x each),
+which moves the full13 rate more than a NARF device port of the
+convolution prefix (~30% of its 1.9 s) would.
 """
 from __future__ import annotations
 

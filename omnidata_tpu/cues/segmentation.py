@@ -256,6 +256,66 @@ def _ncut_sweep(Wm, fiedler, ts):
     return vals
 
 
+def _ncut_sweep_dense(W, fiedler, ts):
+    """_ncut_sweep for a dense (n, n) W — same cut/assoc difference-array
+    sweep, numpy only. Summation order matches the sparse path (row-major
+    upper-triangle edges; zero entries add 0.0 and cannot change sums)."""
+    K = len(ts)
+    n = W.shape[0]
+    level = np.searchsorted(ts, fiedler, side="left")
+    d = W.sum(1)
+    cnt = np.bincount(level, minlength=K + 1).astype(np.int64)
+    deg = np.bincount(level, weights=d, minlength=K + 1)
+    n_a = n - np.cumsum(cnt)[:K]
+    assoc_a = d.sum() - np.cumsum(deg)[:K]
+    assoc_b = d.sum() - assoc_a
+    iu, ju = np.triu_indices(n, 1)
+    w = W[iu, ju]
+    li, lj = level[iu], level[ju]
+    lo = np.minimum(li, lj)
+    hi = np.maximum(li, lj)
+    diff = np.zeros(K + 1)
+    cross = lo < hi
+    np.add.at(diff, lo[cross], w[cross])
+    np.add.at(diff, hi[cross], -w[cross])
+    cut = np.cumsum(diff)[:K]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = cut / assoc_a + cut / assoc_b
+    vals[(n_a == 0) | (n_a == n) | (assoc_a == 0) | (assoc_b == 0)] = np.inf
+    return vals
+
+
+def _two_way_ncut_dense(W, thresh, num_cuts):
+    """Dense-numpy twin of _two_way_ncut for small subgraphs: the recursion
+    spends ~2 ms/call in scipy.sparse construction/slicing overhead on RAGs
+    of a few dozen nodes (511 calls x 2 ms dominated segment_25d's 1.7 s),
+    while the actual eig was already dense. Identical math: the normalized
+    Laplacian entries are the same single multiply chain
+    dm12_i * L_ij * dm12_j, and the sweep matches _ncut_sweep_dense."""
+    n = W.shape[0]
+    if n < 3:
+        return None
+    d = W.sum(1)
+    dm12 = 1.0 / np.sqrt(d + 1e-300)
+    A = (dm12[:, None] * (np.diag(d) - W)) * dm12[None, :]
+    import scipy.linalg as sla
+
+    vals, vecs = sla.eigh(A)
+    order = np.argsort(vals)
+    if len(order) < 2:
+        return None
+    fiedler = vecs[:, order[1]]
+    lo, hi = fiedler.min(), fiedler.max()
+    if hi - lo < 1e-12:
+        return None
+    ts = np.linspace(lo, hi, num_cuts, endpoint=False)
+    vals = _ncut_sweep_dense(W, fiedler, ts)
+    bi = int(np.argmin(vals))
+    if not (vals[bi] < thresh):
+        return None
+    return fiedler > ts[bi]
+
+
 def _two_way_ncut(Wm, thresh, num_cuts):
     """One recursive step of skimage's graph.cut_normalized: Fiedler vector of
     the normalized Laplacian via shift-invert eigsh (sigma=0, 'LM' — the 'SM'
@@ -322,18 +382,28 @@ def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
     next_id = 0
 
     # explicit worklist (aggressive thresholds can peel a node per cut —
-    # recursion depth ~n blows Python's limit on large RAGs)
-    stack = [np.arange(n)]
+    # recursion depth ~n blows Python's limit on large RAGs). Entries carry
+    # an optional dense subgraph: once a subtree is <= 512 nodes it is
+    # densified ONCE and children slice numpy arrays — the scipy.sparse
+    # fancy-slicing/matmul overhead per tiny subgraph was the dominant cost
+    # of segment_25d (511 calls x ~2 ms on a 512^2 image).
+    stack = [(np.arange(n), None)]
     while stack:
-        nodes = stack.pop()
-        sub = Wm[nodes][:, nodes]
-        mask = _two_way_ncut(sub, thresh, num_cuts)
+        nodes, dW = stack.pop()
+        if dW is None and len(nodes) <= 512:
+            dW = np.asarray(Wm[nodes][:, nodes].todense())
+        if dW is not None:
+            mask = _two_way_ncut_dense(dW, thresh, num_cuts)
+        else:
+            sub = Wm[nodes][:, nodes]
+            mask = _two_way_ncut(sub, thresh, num_cuts)
         if mask is None:
             region_of[nodes] = next_id
             next_id += 1
             continue
-        stack.append(nodes[~mask])  # LIFO: mask side first (old DFS order,
-        stack.append(nodes[mask])   # keeps label ids bit-stable)
+        sl = lambda m: None if dW is None else dW[np.ix_(m, m)]
+        stack.append((nodes[~mask], sl(~mask)))  # LIFO: mask side first (old
+        stack.append((nodes[mask], sl(mask)))    # DFS order, label-bit-stable)
     return region_of[labels]
 
 

@@ -95,40 +95,63 @@ def _mt_packed_block(pre, dx, dy, dz, tie_mask):
     return (ti & tie_mask) | lane
 
 
-def _mt_update_refs(packed, a, pslice, packed_out, acc_out, tie_mask):
-    """Fold one block's candidates into the ref accumulators: masked strict
-    improvement on the packed key; winner columns extracted from the chunk
-    pack `a` (COLS, chunk) by a one-hot MXU contraction."""
-    pj = jnp.min(packed, axis=1)
-    best = packed_out[0, 0, pslice]
-    improved = (pj & tie_mask) < (best & tie_mask)
-    win = (packed == pj[:, None]).astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        win, a, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (pblk, COLS)
-    acc_old = acc_out[0, :, pslice]
-    acc_out[0, :, pslice] = jnp.where(improved[None, :], contrib.T, acc_old)
-    packed_out[0, 0, pslice] = jnp.where(improved, pj, best)
+def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
+                    acc_out, tie_mask, block_start=None):
+    """Pixel-block-OUTER / chunk-INNER sweep with fori-carried (best, acc),
+    writing the grid-mapped output refs exactly ONCE per block.
 
+    Why carry instead of per-chunk ref read-modify-write (the r1-r3
+    pattern): Mosaic cannot keep a pipelined out block live across a
+    dynamic-trip loop, so every per-chunk fold through the refs paid a full
+    block flush/reload — measured 63.5 us per chunk-iteration on v5e where
+    the candidate math itself is ~6 us (tested component-by-component with
+    synthetic trip counts; see COMPONENTS.md 'Streamed-kernel stage
+    profile'). The loop-carried form is the chunklist kernel's pattern and
+    removes ~90% of the streamed sweep cost. Per-chunk Möller-Trumbore
+    precompute moves inside the block loop (it is (1, chunk)-shaped —
+    negligible against the (pblk, chunk) candidate math).
 
-def _mt_sweep_chunk_refs(a, pre_args, dir_refs, pblk, packed_out, acc_out,
-                         tie_mask):
-    """Sweep one (COLS, chunk) pack chunk over every pixel block, folding
-    into the output refs (the streamed/compact kernels' shared inner
-    loop)."""
-    ox, oy, oz = pre_args
-    rows = tuple(a[i][None, :] for i in range(9))
-    pre = _mt_precompute(rows, ox, oy, oz)
+    get_chunk(i) -> (COLS, chunk) pack slice; called exactly once per
+    (block, chunk) in ascending i order, so it may drive a double-buffered
+    DMA pipeline. block_start() runs before each block's loop (DMA
+    prologue). Results are bit-identical to the old pattern: same fold
+    order, same masked-improvement tie semantics."""
+    ox, oy, oz = origin
     P = dir_refs[0].shape[2]
+    COLS = acc_out.shape[1]
+    big_packed = _big_packed()
     for pb in range(P // pblk):
-        pslice = slice(pb * pblk, (pb + 1) * pblk)
-        dx = dir_refs[0][0, 0, pslice][:, None]
-        dy = dir_refs[1][0, 0, pslice][:, None]
-        dz = dir_refs[2][0, 0, pslice][:, None]
-        packed = _mt_packed_block(pre, dx, dy, dz, tie_mask)
-        _mt_update_refs(packed, a, pslice, packed_out, acc_out, tie_mask)
+        ps = slice(pb * pblk, (pb + 1) * pblk)
+        dx = dir_refs[0][0, 0, ps][:, None]
+        dy = dir_refs[1][0, 0, ps][:, None]
+        dz = dir_refs[2][0, 0, ps][:, None]
+        if block_start is not None:
+            block_start()
+
+        def body(i, carry):
+            best, acc = carry
+            a = get_chunk(i)
+            rows = tuple(a[j][None, :] for j in range(9))
+            pre = _mt_precompute(rows, ox, oy, oz)
+            packed = _mt_packed_block(pre, dx, dy, dz, tie_mask)
+            pj = jnp.min(packed, axis=1)
+            improved = (pj & tie_mask) < (best & tie_mask)
+            win = (packed == pj[:, None]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                win, a, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (pblk, COLS)
+            return (jnp.where(improved, pj, best),
+                    jnp.where(improved[:, None], contrib, acc))
+
+        best, acc = jax.lax.fori_loop(
+            0, trip, body,
+            (jnp.full((pblk,), big_packed, jnp.int32),
+             jnp.zeros((pblk, COLS), jnp.float32)),
+        )
+        packed_out[0, 0, ps] = best
+        acc_out[0, :, ps] = acc.T
 
 
 def _big_packed() -> jnp.int32:
@@ -448,8 +471,6 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     big_packed = _big_packed()
 
     nblk = stage_cap // chunk
-    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
-    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
     s_ref[...] = jnp.zeros((nblk + 1, COLS, chunk), jnp.float32)
 
     def chunk_of(i):
@@ -482,29 +503,19 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     fallback = staged > stage_cap  # S incomplete: sweep the raw list instead
 
     # ---- pass 2: Möller-Trumbore sweep over dense (or fallback) chunks ----
-    def sweep_chunk(a):
-        """One chunk's pixel sweep; outputs are the accumulators."""
-        _mt_sweep_chunk_refs(a, (ox, oy, oz), dir_refs, pblk,
-                             packed_out, acc_out, tie_mask)
-
+    # (both branches write every output pixel exactly once per block)
     @pl.when(jnp.logical_not(fallback))
     def _dense():
         trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
-
-        def body(i, c):
-            # zero-padded tail columns are degenerate (e1=e2=0 -> no hit)
-            sweep_chunk(s_ref[i])
-            return c
-
-        jax.lax.fori_loop(0, trip2, body, 0)
+        # zero-padded tail columns are degenerate (e1=e2=0 -> no hit)
+        _mt_sweep_carry(trip2, lambda i: s_ref[i], (ox, oy, oz), dir_refs,
+                        pblk, packed_out, acc_out, tie_mask)
 
     @pl.when(fallback)
     def _fb():
-        def body(i, c):
-            sweep_chunk(pack_ref[0, :, pl.ds(chunk_of(i) * chunk, chunk)])
-            return c
-
-        jax.lax.fori_loop(0, trip, body, 0)
+        _mt_sweep_carry(
+            trip, lambda i: pack_ref[0, :, pl.ds(chunk_of(i) * chunk, chunk)],
+            (ox, oy, oz), dir_refs, pblk, packed_out, acc_out, tie_mask)
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
@@ -627,10 +638,6 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
     oz = origins_ref[view, 2]
 
     tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
-    big_packed = _big_packed()
-
-    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
-    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
 
     def chunk_of(i):
         j = jnp.minimum(i, ccap - 1)
@@ -647,11 +654,12 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
             pack_hbm.at[ci], pack_buf.at[buf], sem.at[buf],
         )
 
-    @pl.when(trip > 0)
-    def _prologue():
-        copy_op(0, 0).start()
+    def block_start():
+        @pl.when(trip > 0)
+        def _prologue():
+            copy_op(0, 0).start()
 
-    def body(i, carry):
+    def get_chunk(i):
         buf = jax.lax.rem(i, 2)
         copy_op(i, buf).wait()
 
@@ -659,12 +667,12 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
         def _prefetch():
             copy_op(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-        # per-candidate precompute happens ONCE per chunk inside the helper
-        _mt_sweep_chunk_refs(pack_buf[buf], (ox, oy, oz), dir_refs, pblk,
-                             packed_out, acc_out, tie_mask)
-        return carry
+        return pack_buf[buf]
 
-    jax.lax.fori_loop(0, trip, body, 0)
+    # each pixel block replays the chunk DMAs (2x traffic) — measured
+    # 0.45 us/chunk for the whole DMA+decode machinery vs ~6 us of sweep
+    _mt_sweep_carry(trip, get_chunk, (ox, oy, oz), dir_refs, pblk,
+                    packed_out, acc_out, tie_mask, block_start=block_start)
 
 
 def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
@@ -695,11 +703,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     oz = origins_ref[view, 2]
 
     tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
-    big_packed = _big_packed()
 
     nblk = stage_cap // chunk
-    packed_out[0, 0, :] = jnp.full((P,), big_packed, jnp.int32)
-    acc_out[0, :, :] = jnp.zeros((COLS, P), jnp.float32)
     s_ref[...] = jnp.zeros((nblk + 1, COLS, chunk), jnp.float32)
 
     def chunk_of(i):
@@ -756,27 +761,20 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     staged = jax.lax.fori_loop(0, trip, body1, jnp.int32(0))
     fallback = staged > stage_cap
 
-    def sweep_chunk(a):
-        """One chunk's pixel sweep; outputs are the accumulators."""
-        _mt_sweep_chunk_refs(a, (ox, oy, oz), dir_refs, pblk,
-                             packed_out, acc_out, tie_mask)
-
+    # both branches write every output pixel exactly once per block
     @pl.when(jnp.logical_not(fallback))
     def _dense():
         trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
-
-        def body(i, c):
-            sweep_chunk(s_ref[i])
-            return c
-
-        jax.lax.fori_loop(0, trip2, body, 0)
+        _mt_sweep_carry(trip2, lambda i: s_ref[i], (ox, oy, oz), dir_refs,
+                        pblk, packed_out, acc_out, tie_mask)
 
     @pl.when(fallback)
     def _fb():
         # S overflowed: re-stream the admitted chunks and sweep them raw
-        copy_pack(0, 0).start()
+        def block_start():
+            copy_pack(0, 0).start()
 
-        def body(i, c):
+        def get_chunk(i):
             buf = jax.lax.rem(i, 2)
             copy_pack(i, buf).wait()
 
@@ -784,10 +782,11 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
             def _prefetch():
                 copy_pack(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-            sweep_chunk(pack_buf[buf])
-            return c
+            return pack_buf[buf]
 
-        jax.lax.fori_loop(0, trip, body, 0)
+        _mt_sweep_carry(trip, get_chunk, (ox, oy, oz), dir_refs, pblk,
+                        packed_out, acc_out, tie_mask,
+                        block_start=block_start)
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
