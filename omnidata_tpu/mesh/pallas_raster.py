@@ -471,7 +471,16 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     big_packed = _big_packed()
 
     nblk = stage_cap // chunk
-    s_ref[...] = jnp.zeros((nblk + 1, COLS, chunk), jnp.float32)
+    # lazy zeroing: _stage_window ACCUMULATES into S, and pass 2 sweeps the
+    # partial tail block, so touched blocks must start zero — but only
+    # blocks [0, trip+1) can ever be touched (each admitted chunk stages
+    # <= chunk faces; +1 for the two-block scatter window / spill). The
+    # unconditional full-(nblk+1) memset measured ~34 us of the compact
+    # kernel's 43 us per-tile intercept at stage_cap=4096.
+    def _zblk(i, c):
+        s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
+        return c
+    jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
 
     def chunk_of(i):
         j = jnp.minimum(i, ccap - 1)
@@ -705,7 +714,16 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
 
     nblk = stage_cap // chunk
-    s_ref[...] = jnp.zeros((nblk + 1, COLS, chunk), jnp.float32)
+    # lazy zeroing: _stage_window ACCUMULATES into S, and pass 2 sweeps the
+    # partial tail block, so touched blocks must start zero — but only
+    # blocks [0, trip+1) can ever be touched (each admitted chunk stages
+    # <= chunk faces; +1 for the two-block scatter window / spill). The
+    # unconditional full-(nblk+1) memset measured ~34 us of the compact
+    # kernel's 43 us per-tile intercept at stage_cap=4096.
+    def _zblk(i, c):
+        s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
+        return c
+    jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
 
     def chunk_of(i):
         j = jnp.minimum(i, ccap - 1)

@@ -71,24 +71,32 @@ def _project_all(K, RT, pts):
     return uv, zc
 
 
-def face_screen_bboxes(camera: Camera, mesh: TriangleMesh):
+def face_screen_bboxes(camera: Camera, mesh: TriangleMesh,
+                       tris_w: jax.Array | None = None):
     """Conservative per-face screen bboxes (lo, hi (F,2)) + live mask (F,).
 
     Near-plane-aware: triangles entirely behind z=near can never be hit and
     are dead; triangles straddling the plane get a bbox over their in-front
     vertices plus the two edge/near-plane crossings (exact conservative
     bound — without this, interior views bin ~half the mesh to every tile).
-    Dead faces carry lo=+BIG / hi=-BIG so any overlap test fails."""
+    Dead faces carry lo=+BIG / hi=-BIG so any overlap test fails.
+
+    tris_w: optional pre-gathered (F, 3, 3) world-space triangle corners.
+    Batched callers MUST pass it: mesh.vertices[mesh.faces] inside a
+    per-view vmap re-runs a 3F-row gather per view, which measured ~17
+    ms/view on the 584k-face scan (the single largest stage after the r4
+    kernel fix); gathered once outside, the projection is a pure einsum."""
     res = camera.resolution
     K = intrinsic_matrix(camera.fov, res)
     RT = extrinsic_RT(camera.location, camera.R)
 
-    ones = jnp.ones((mesh.vertices.shape[0], 1), mesh.vertices.dtype)
-    cam = jnp.einsum(
-        "ij,nj->ni", RT, jnp.concatenate([mesh.vertices, ones], -1),
+    if tris_w is None:
+        tris_w = mesh.vertices[mesh.faces]  # (F,3,3)
+    ones = jnp.ones(tris_w.shape[:-1] + (1,), tris_w.dtype)
+    tri_cam = jnp.einsum(
+        "ij,fvj->fvi", RT, jnp.concatenate([tris_w, ones], -1),
         precision="highest",
-    )  # (V,3)
-    tri_cam = cam[mesh.faces]  # (F,3,3)
+    )  # (F,3,3)
     tri_z = tri_cam[..., 2]  # (F,3)
 
     def to_uv(pts_cam):
@@ -451,7 +459,8 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
 
 @partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret",
                                    "ccap", "streamed", "compact",
-                                   "stage_cap", "hier_min_chunks"))
+                                   "stage_cap", "hier_min_chunks",
+                                   "max_views_per_kernel"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -465,6 +474,7 @@ def render_views_fused(
     compact: bool | None = None,
     stage_cap: int | None = None,
     hier_min_chunks: int | None = None,
+    max_views_per_kernel: int | None = None,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
@@ -537,8 +547,10 @@ def render_views_fused(
     # overlapping region contains none of the chunk's actual faces). The
     # per-chunk any-face-overlap is a separable y/x test contracted on the
     # MXU: overlap[c,ty,tx] = OR_f (ov_y[c,f,ty] & ov_x[c,f,tx]) == matmul>0.
+    tris = mesh.vertices[mesh.faces]  # gathered ONCE, shared by all views
     lo, hi, _live = jax.vmap(
-        lambda loc, R, fov: face_screen_bboxes(Camera(loc, R, fov, res), mesh)
+        lambda loc, R, fov: face_screen_bboxes(
+            Camera(loc, R, fov, res), mesh, tris_w=tris)
     )(cameras.location, cameras.R, cameras.fov)
     BIGF = 1e9
     lo = jnp.pad(lo, ((0, 0), (0, padF), (0, 0)), constant_values=BIGF)
@@ -562,16 +574,17 @@ def render_views_fused(
                          if hier_min_chunks is None else hier_min_chunks),
     )
     assert n_chunks < (1 << 16), "chunk ids are packed as 16-bit pairs"
-    smem_bytes = K * T * (((ccap + 1) // 2) + 2) * 4  # clist + counts + slack
-    assert smem_bytes <= 900_000, (
-        f"per-tile chunk lists need ~{smem_bytes} B of TPU scalar memory "
-        f"(limit ~1 MB): lower the views per dispatch (K={K}) or raise the "
-        f"tile size (tiles/view={T} at this resolution)"
-    )
+    # SMEM budget -> views per KERNEL dispatch. The packed per-tile chunk-id
+    # lists live in ~1MB scalar memory, which capped whole-program batching
+    # at K=8 on 512^2/tile-32/ccap-192 scans; instead the kernel alone is
+    # split into view sub-batches while admission, decode and the cue stack
+    # stay batched at the caller's K (batched convs fill the VPU far better).
+    words = ((ccap + 1) // 2) + 2
+    maxK = max_views_per_kernel or max(1, 900_000 // (T * words * 4))
     if ccap % 2:
         ids = jnp.pad(ids, ((0, 0), (0, 1)))
     pairs = ids.reshape(K * T, -1, 2)
-    clist = (pairs[..., 0] | (pairs[..., 1] << 16)).reshape(-1)
+    clist_rows = pairs[..., 0] | (pairs[..., 1] << 16)  # (K*T, words-2)
 
     origins, dirs = jax.vmap(lambda loc, R, fov: camera_rays(
         Camera(loc, R, fov, res)))(cameras.location, cameras.R, cameras.fov)
@@ -584,7 +597,6 @@ def render_views_fused(
 
     pack = scene_pack(mesh, (vertex_attrs,) if vertex_attrs is not None else ())
     pack = jnp.pad(pack, ((0, padF), (0, 0))).T  # (COLS, Fp)
-    tris = mesh.vertices[mesh.faces]
     v0 = tris[:, 0]
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
@@ -607,24 +619,36 @@ def render_views_fused(
         hi_t = jnp.clip(jnp.floor((hi + 1.0) / tile), 0, 255).astype(jnp.int32)
         bbox_words = (lo_t[..., 0] | (hi_t[..., 0] << 8)
                       | (lo_t[..., 1] << 16) | (hi_t[..., 1] << 24))
-    if streamed:
-        valid, t, u, v, f, attrs = raster_tiles_pallas_streamed(
-            clist, counts, origins, pack, dir_planes,
-            chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
-            bbox_words=bbox_words if compact else None, n1d=n1d,
-            stage_cap=stage_cap or STREAMED_STAGE_CAP,
-        )
-    elif compact:
-        valid, t, u, v, f, attrs = raster_tiles_pallas_compact(
-            clist, counts, origins, pack, bbox_words, dir_planes,
-            chunk=chunk, interpret=interpret, tiles_per_view=T, n1d=n1d,
-            ccap=ccap, stage_cap=stage_cap or STAGE_CAP,
-        )
-    else:
-        valid, t, u, v, f, attrs = raster_tiles_pallas_chunklist(
-            clist, counts, origins, tri_planes, pack, dir_planes,
-            chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
-        )
+    outs = []
+    for s in range(0, K, maxK):
+        e = min(K, s + maxK)
+        rows = slice(s * T, e * T)
+        cl = clist_rows[rows].reshape(-1)
+        cn = counts[rows]
+        og = origins[s:e]
+        dp = tuple(d[rows] for d in dir_planes)
+        if streamed:
+            outs.append(raster_tiles_pallas_streamed(
+                cl, cn, og, pack, dp,
+                chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
+                bbox_words=bbox_words[s:e] if compact else None, n1d=n1d,
+                stage_cap=stage_cap or STREAMED_STAGE_CAP,
+            ))
+        elif compact:
+            outs.append(raster_tiles_pallas_compact(
+                cl, cn, og, pack, bbox_words[s:e], dp,
+                chunk=chunk, interpret=interpret, tiles_per_view=T, n1d=n1d,
+                ccap=ccap, stage_cap=stage_cap or STAGE_CAP,
+            ))
+        else:
+            outs.append(raster_tiles_pallas_chunklist(
+                cl, cn, og, tri_planes, pack, dp,
+                chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
+            ))
+    valid, t, u, v, f, attrs = (
+        outs[0] if len(outs) == 1
+        else tuple(jnp.concatenate([o[i] for o in outs]) for i in range(6))
+    )
     uv = jnp.stack([u, v], -1)
 
     def untile(x):

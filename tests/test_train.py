@@ -853,3 +853,26 @@ def test_cli_all_overlaps_host_cues(mini_scene_dataset, tmp_path):
         got = set(os.listdir(os.path.join(d, task)))
         for v in views:
             assert f"{v}_domain_{task}.png" in got, (task, v)
+
+
+def test_experiment_logger_jsonl(tmp_path):
+    """ExperimentLogger (the wandb-gap backend, paper_code train_depth.py:
+    12-14): config snapshot + append-only JSONL scalars; wandb absent here
+    so the jsonl stream is the whole record."""
+    import json
+
+    from omnidata_tpu.utils.experiment import ExperimentLogger
+
+    with ExperimentLogger(str(tmp_path / "run"), config={"lr": 1e-4}) as lg:
+        lg.log(1, {"loss": 0.5})
+        lg.log(2, {"loss": 0.25, "cos": 0.9})
+    run = tmp_path / "run"
+    assert json.loads((run / "config.json").read_text())["lr"] == 1e-4
+    recs = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    assert [r["step"] for r in recs] == [1, 2]
+    assert recs[1]["cos"] == 0.9
+    # append-on-reopen (resume semantics)
+    with ExperimentLogger(str(run)) as lg:
+        lg.log(3, {"loss": 0.1})
+    recs = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    assert [r["step"] for r in recs] == [1, 2, 3]

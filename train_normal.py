@@ -143,6 +143,7 @@ def main(argv=None):
         if val_loss is None:
             return None
         print(f"step {step}: val_normal_loss {val_loss:.4f}")
+        explog.log(step, {"val_normal_loss": val_loss})
         dump_val_images(ckpt_dir, step, sample)
         ckpt.save(state_tree(state), step, metric=val_loss)
         return val_loss
@@ -153,6 +154,10 @@ def main(argv=None):
     ckpt_step = int(cfg.get("ckpt_step", 1000))
     loader = MixedLoader(datasets, batch_size,
                          num_workers=int(cfg.get("num_workers", 8)))
+    from omnidata_tpu.utils.experiment import ExperimentLogger
+
+    explog = ExperimentLogger(cfg.get("log_dir", ckpt_dir), config=cfg,
+                              backend=cfg.get("log_backend", "auto"))
     t0 = time.time()
     done = 0
     with mesh:
@@ -177,12 +182,14 @@ def main(argv=None):
             if step % log_step == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"step {step}: {m} ({(time.time()-t0)/done:.2f}s/step)")
+                explog.log(step, dict(m, sec_per_step=(time.time()-t0)/done))
             if step % val_step == 0:
                 validate(step)
             if step % ckpt_step == 0:
                 ckpt.save(state_tree(state), step, metric=None)
     ckpt.save(state_tree(state), step, metric=None)
     ckpt.wait_until_finished()  # drain the async save before exit
+    explog.finish()
     print(f"done: {step} steps in {time.time()-t0:.1f}s")
 
 
