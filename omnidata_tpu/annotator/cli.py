@@ -424,9 +424,22 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
             if prev is not None:
                 process(*prev)
         else:
+            import jax.numpy as jnp
+
+            from ..mesh.raster import tile_candidate_counts
+
             for view in flat_views:
                 cam = camera_from_view_dict(view, resolution=settings.RESOLUTION)
-                out = annotate_view(cam, mesh, curv, **kw)
+                # exactness on the XLA fallback path: render_view silently
+                # drops candidates past `cap` per tile, so probe the true
+                # per-tile counts and double cap (bounded recompiles: caps
+                # are powers of two of the base) until it covers this view
+                cap_eff = int(kw["cap"])
+                max_count = int(jnp.max(
+                    tile_candidate_counts(cam, mesh, tile=kw["tile"])))
+                while cap_eff < max_count:
+                    cap_eff *= 2
+                out = annotate_view(cam, mesh, curv, **{**kw, "cap": cap_eff})
                 write_outputs(view, {t: np.asarray(out[t])
                                      for t in mods if t in out})
                 i += 1

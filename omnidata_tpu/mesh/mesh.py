@@ -630,7 +630,31 @@ def split_long_edges(
             ],
             1,
         )
-        longest = e.argmax(1)
+        # tie-break identical to the old sequential max() over
+        # (L, opp, p, q) tuples: equal-length edges (cube diagonals,
+        # equilateral sphere faces) pick the lexicographically largest
+        # (opp, p, q) ids — keeps the triangulation bit-identical, which
+        # matters to capacity-marginal consumers (a different but equally
+        # valid split nudged a bench tile past RASTER_CAP in r4)
+        opp3 = f
+        pp3 = f[:, [1, 2, 0]]
+        qq3 = f[:, [2, 0, 1]]
+
+        def _gt(i, j):
+            return (e[:, i] > e[:, j]) | (
+                (e[:, i] == e[:, j])
+                & (
+                    (opp3[:, i] > opp3[:, j])
+                    | ((opp3[:, i] == opp3[:, j])
+                       & ((pp3[:, i] > pp3[:, j])
+                          | ((pp3[:, i] == pp3[:, j])
+                             & (qq3[:, i] > qq3[:, j]))))
+                )
+            )
+
+        longest = np.where(_gt(1, 0), 1, 0)
+        l2_beats = np.where(longest == 1, _gt(2, 1), _gt(2, 0))
+        longest = np.where(l2_beats, 2, longest)
         rows = np.arange(len(f))
         need = e[rows, longest] > max_edge
         if not need.all():

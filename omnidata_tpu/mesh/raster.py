@@ -204,6 +204,27 @@ def bin_triangles(camera: Camera, mesh: TriangleMesh, tile: int, cap: int):
     return tile_tris, counts
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def tile_candidate_counts(camera: Camera, mesh: TriangleMesh, tile: int = 64):
+    """True per-tile bbox-overlap face counts (T,) — the overflow probe for
+    capacity-bound consumers. render_view silently keeps only the lowest
+    `cap` face ids per tile on overflow (raster.py bin_triangles), so exact
+    callers on the XLA path fetch max(counts) and raise cap before
+    rendering (annotator.cli does); the Pallas kernels instead get
+    exactness from their counts=-1 scan-all contract. Counts here are an
+    upper bound of bin_triangles' (its chunk-level pre-admission can only
+    remove candidates)."""
+    res = camera.resolution
+    n1d = res // tile
+    lo, hi, _live = face_screen_bboxes(camera, mesh)
+    txs = jnp.arange(n1d) * tile
+    ovx = (hi[:, 0:1] >= txs[None]) & (lo[:, 0:1] <= txs[None] + tile)
+    ovy = (hi[:, 1:2] >= txs[None]) & (lo[:, 1:2] <= txs[None] + tile)
+    cnt = jnp.einsum("fy,fx->yx", ovy.astype(jnp.float32),
+                     ovx.astype(jnp.float32), precision="highest")
+    return cnt.reshape(-1).astype(jnp.int32)
+
+
 def _tri_soa(mesh: TriangleMesh):
     """9 (F,) planes: v0.xyz, e1.xyz, e2.xyz."""
     tris = mesh.vertices[mesh.faces]  # (F,3,3)

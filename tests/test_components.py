@@ -266,6 +266,7 @@ def test_oasis_dataset_and_eval(tmp_path):
     assert r["22.5"] < 0.01 and abs(r["MDAE"] - 30.0) < 0.5
 
 
+@pytest.mark.slow
 def test_oasis_eval_cli(tmp_path):
     """eval_normal.py --oasis_csv runs the external protocol end-to-end with
     a real (random-init) UNet."""
@@ -320,6 +321,7 @@ def test_nyu_dataset_loader(tmp_path):
     assert s["mask"][0, 20, 20] == 1.0 and s["mask"][0, 0, 0] == 0.0
 
 
+@pytest.mark.slow
 def test_nyu_depth_eval_cli(tmp_path):
     """eval_depth.py --nyu_root runs the external depth protocol on
     synthetic .h5 fixtures."""

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 
@@ -15,6 +16,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

@@ -236,6 +236,7 @@ def test_unet_converter_covers_all_torch_keys(ref_modules):
     assert n_leaves == len(sd)
 
 
+@pytest.mark.slow
 def test_dpt_jit_compiles(dpt_small_variables):
     model, variables = dpt_small_variables
     f = jax.jit(lambda v, x: model.apply(v, x))
@@ -243,6 +244,7 @@ def test_dpt_jit_compiles(dpt_small_variables):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_multitask_models_shapes():
     from omnidata_tpu.models import MTAN, CrossStitch, HRNetLite, MultiTaskModel, PADNet
 
@@ -283,6 +285,7 @@ def test_attention_blocks():
         assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_midas_net_small_and_unet_variants():
     from omnidata_tpu.models import MidasNetSmall, UNet
 
@@ -295,6 +298,7 @@ def test_midas_net_small_and_unet_variants():
     assert 0.0 <= float(jnp.min(y2)) and float(jnp.max(y2)) <= 1.0
 
 
+@pytest.mark.slow
 def test_bf16_cast_keeps_norm_params_f32_and_small_output_delta(dpt_small_variables):
     from omnidata_tpu.models.layers import EncoderBlock
     from omnidata_tpu.models.registry import cast_params_bf16
@@ -337,6 +341,7 @@ def test_bf16_cast_keeps_norm_params_f32_and_small_output_delta(dpt_small_variab
     assert np.corrcoef(y32, y16)[0, 1] > 0.9
 
 
+@pytest.mark.slow
 def test_efficientnet_lite3_tap_channels():
     """The backbone taps must match the reference's scratch config
     [32, 48, 136, 384] (blocks.py:41) — pins the lite3 width/depth math."""
@@ -413,6 +418,7 @@ def test_resnext_bottleneck_matches_torch():
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_midas_converter_roundtrip():
     """_midas_mapping covers the full checkpoint layout: synthesize a torch
     state dict from flax init, convert back, get identical trees (and a
@@ -594,6 +600,7 @@ def ref_hrnet(reference_root):
                 sys.modules[k] = v
 
 
+@pytest.mark.slow
 def test_hrnet_w18_full_parity(ref_hrnet):
     """Faithful HRNet-W18: identical param count and numeric parity with the
     torch reference through the weight converter (VERDICT r2 #9;
@@ -623,6 +630,7 @@ def test_hrnet_w18_full_parity(ref_hrnet):
     assert abs(n_torch - n_flax) <= 0.01 * n_torch, (n_torch, n_flax)
 
 
+@pytest.mark.slow
 def test_hrnet_shapes_all_variants():
     from omnidata_tpu.models import HRNet
 

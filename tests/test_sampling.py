@@ -285,6 +285,7 @@ def test_skybox_face_numbering():
     assert skybox_face_of_direction([0, -1, 0], R) == 5  # bottom
 
 
+@pytest.mark.slow
 def test_sweep_cli_and_rgb_pano(tmp_path):
     """POINT_TYPE=SWEEP writes per-camera point_info with K/RT matrices, and
     the pano task emits rgb equirects for colored meshes."""

@@ -148,6 +148,7 @@ def test_packed_cache_bakes_hooks(mini_scene_dataset, tmp_path):
     assert pds[0]["rgb"].max() <= 0.5
 
 
+@pytest.mark.slow
 def test_normal_train_step_decreases_loss(mini_scene_dataset):
     from omnidata_tpu.data.dataset import OmnidataDataset, Options
     from omnidata_tpu.models import UNet
@@ -310,6 +311,7 @@ def test_crash_dump_and_validation_images(tmp_path):
     assert os.path.exists(str(tmp_path / "val" / "step100_sample0.png"))
 
 
+@pytest.mark.slow
 def test_annotate_views_sharded_8_devices():
     """Multi-device annotation: camera batch sharded over the 8-device mesh."""
     import jax.numpy as jnp
@@ -369,6 +371,7 @@ def test_holdout_split_groups():
     assert va_groups  # something actually held out
 
 
+@pytest.mark.slow
 def test_train_normal_driver_validates_and_checkpoints(mini_scene_dataset, tmp_path):
     """Driver smoke run: val loss logged, val images dumped, top-k ckpts keyed
     on the validation loss (reference ModelCheckpoint monitor='val_normal_loss')."""
@@ -687,6 +690,7 @@ def test_taskonomy_variant_ladder_shrinks():
     assert sizes[0] < sizes[-1] == len(ds.index)
 
 
+@pytest.mark.slow
 def test_resume_restores_state_bitwise(mini_scene_dataset, tmp_path):
     """--resume restores params + optimizer + step from 'last' bitwise
     (reference Lightning resume; VERDICT r2 #4)."""
@@ -770,6 +774,7 @@ def test_host_cue_process_pool(tmp_path, monkeypatch):
         assert os.listdir(os.path.join(d, task)), task
 
 
+@pytest.mark.slow
 def test_cli_all_honors_per_task_model_files(mini_scene_dataset, tmp_path):
     """RGB_MODEL_FILE / SEMANTIC_MODEL_FILE must pick their meshes in a
     multi-task run too (previously honored only when the task ran alone:
@@ -829,6 +834,7 @@ def test_cli_all_honors_per_task_model_files(mini_scene_dataset, tmp_path):
                         for a in sems)
 
 
+@pytest.mark.slow
 def test_cli_all_overlaps_host_cues(mini_scene_dataset, tmp_path):
     """--task all computes host cues (keypoints3d/segment_*) from the
     in-flight device outputs on a worker pool instead of a separate
