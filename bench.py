@@ -345,9 +345,13 @@ def main():
         print(json.dumps(result), flush=True)
 
 
-def bench_large_scene(n_batches: int = 4):
+def bench_large_scene(n_batches: int = 2):
     """Replica-scale throughput via the HBM-streamed kernel (the small
-    scene's VMEM-resident kernel cannot hold a 584k-face pack)."""
+    scene's VMEM-resident kernel cannot hold a 584k-face pack). K=32: the
+    SMEM chunk lists cap the KERNEL at 8 views, but render_views_fused
+    sub-batches that internally, so admission/decode/cues batch 32-wide —
+    measured 29 vps at K=8 vs 65 vps at K=32 (per-dispatch fixed work and
+    small-grid underutilization amortize)."""
     import jax
     import jax.numpy as jnp
 
@@ -355,7 +359,7 @@ def bench_large_scene(n_batches: int = 4):
 
     _note("building large scene")
     mesh, curv = build_large_scene()
-    K, tile, ccap, res = 8, 32, 192, 512
+    K, tile, ccap, res = 32, 32, 192, 512
     cams_np = sample_cameras_np(K * (n_batches + 1), seed=3)
     batches = [
         jax.block_until_ready(_camera_batch(cams_np, range(K * b, K * (b + 1)), res))
