@@ -161,6 +161,44 @@ def _big_packed() -> jnp.int32:
     )
 
 
+def _chunk_selector(clist_ref, t_idx, count, ccap: int, n_chunks_total: int):
+    """Shared per-tile candidate-list decode -> (trip, chunk_of).
+
+    counts encoding (produced by raster.admission_lists):
+      count >= 0   exact chunk list: loop `count` listed chunks.
+      count == -1  full scan: loop ALL n_chunks_total chunks.
+      count <= -2  BLOCK mode: the tile's chunk list overflowed ccap but its
+                   8-chunk Morton-block list fits — the same packed 16-bit
+                   slots hold bcount = -count-2 ascending BLOCK ids and the
+                   kernel expands each to 8 consecutive chunk ids
+                   (trip = bcount*8, still ascending). Non-admitted chunks
+                   riding along in an admitted block contribute nothing: a
+                   face that hits a tile pixel has a screen bbox overlapping
+                   the tile, so its chunk is admitted — extra chunks can only
+                   add misses (and stage zero faces in the compacting
+                   kernels). 12-24x less work than the old scan-all cliff on
+                   584k-face scans (~190 blocks vs 4570 chunks).
+    The final id is clamped to the last chunk (the tail block may extend
+    past n_chunks_total; a re-swept duplicate chunk cannot improve the
+    strict masked-min fold, so winners are unchanged)."""
+    full = count == -1
+    block_mode = count < -1
+    trip = jnp.where(
+        full, n_chunks_total,
+        jnp.where(block_mode, (-count - 2) * 8, count))
+
+    def chunk_of(i):
+        jl = jnp.where(block_mode, i // 8, i)
+        j = jnp.minimum(jl, ccap - 1)
+        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
+        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
+        ci = jnp.where(block_mode, ci16 * 8 + i % 8, ci16)
+        ci = jnp.where(full, i, ci)
+        return jnp.minimum(ci, n_chunks_total - 1)
+
+    return trip, chunk_of
+
+
 def _decode_winners(packed, acc, origins, dir_planes, tiles_per_view):
     """Shared post-kernel decode: exact one-shot Möller–Trumbore recompute of
     the winner's t/u/v from its extracted geometry columns (full-width fused
@@ -233,14 +271,15 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
                            pack_ref, dir_refs, packed_out, acc_out, *,
                            chunk: int, pblk: int, tiles_per_view: int,
                            ccap: int, n_chunks_total: int):
-    """counts[t] >= 0: loop that many listed chunks. counts[t] < 0: the
-    tile's chunk list overflowed ccap — scan ALL chunks (exactness beats
-    the rare slow tile; overflow only happens when one tile overlaps >ccap
-    chunks, e.g. very coarse tilings)."""
+    """counts[t] >= 0: loop that many listed chunks; -1: scan ALL chunks;
+    <= -2: expand the listed Morton-block ids (see _chunk_selector)."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    overflow = count < 0
-    trip = jnp.where(overflow, n_chunks_total, count)
+    # clist packs two 16-bit ids per SMEM word (halves the scalar-memory
+    # footprint so more views fit per dispatch); see _chunk_selector for the
+    # exact-chunk / block-mode / full-scan counts encoding
+    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                     n_chunks_total)
     COLS = pack_ref.shape[1]
     P = dir_refs[0].shape[2]
 
@@ -260,12 +299,7 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
 
         def body(i, carry):
             best, acc = carry
-            # clist packs two 16-bit chunk ids per SMEM word (halves the
-            # scalar-memory footprint so more views fit per dispatch)
-            j = jnp.minimum(i, ccap - 1)
-            word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
-            ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
-            ci = jnp.where(overflow, i, ci16)
+            ci = chunk_of(i)
             sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
             pre = _mt_precompute(tuple(sl(tri_refs[i]) for i in range(9)),
                                  ox, oy, oz)
@@ -399,7 +433,12 @@ def raster_tiles_pallas_chunklist(
 # plain pl.when-guarded ref updates.
 
 STAGE_CAP = 512  # dense staging faces per tile (4 sweep chunks)
-STREAMED_STAGE_CAP = 8 * STAGE_CAP  # streamed path: bigger tiles/lists
+STREAMED_STAGE_CAP = 16 * STAGE_CAP  # streamed path: bigger tiles/lists.
+# 8192 (VMEM staging ~1.5 MB at COLS~44): on the 584k-tri bench scan the
+# staged-faces-per-tile distribution is heavy-tailed (p50 362, p99 9014,
+# max 35670 at tile=32) — at 4096 ~12.6 tiles/view fell back to re-sweeping
+# their RAW admitted chunk lists (2-5x the dense sweep for exactly the
+# densest tiles); 8192 leaves ~3.8/view falling back (~2 ms/view saved)
 
 
 def _stage_window(pack_cols, mf, base, s_ref, tri_lower, chunk: int,
@@ -454,8 +493,8 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
                          stage_cap: int):
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    list_overflow = count < 0
-    trip = jnp.where(list_overflow, n_chunks_total, count)
+    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                     n_chunks_total)
     COLS = pack_ref.shape[1]
     P = dir_refs[0].shape[2]
 
@@ -481,12 +520,6 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
         s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
         return c
     jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
-
-    def chunk_of(i):
-        j = jnp.minimum(i, ccap - 1)
-        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
-        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
-        return jnp.where(list_overflow, i, ci16)
 
     # ---- pass 1: stream-compact overlapping faces' pack columns into S ----
     # positions via a lower-triangular inclusive-count matmul; scatter via a
@@ -532,7 +565,7 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
                                    "stage_cap"))
 def raster_tiles_pallas_compact(
     clist: jax.Array,         # (K*T*ceil(ccap/2),) int32 packed 16-bit pairs
-    counts: jax.Array,        # (K*T,) int32 (-1 = list overflow: scan all)
+    counts: jax.Array,        # (K*T,) int32 (-1 scan all; <=-2 block mode)
     origin: jax.Array,        # (K,3)
     pack: jax.Array,          # (COLS, Fp) f32 — VMEM-resident (geometry rides
                               # rows 0-9, like the streamed kernel)
@@ -636,8 +669,8 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
                           ccap: int, n_chunks_total: int):
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    overflow = count < 0
-    trip = jnp.where(overflow, n_chunks_total, count)
+    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                     n_chunks_total)
     COLS = pack_buf.shape[1]
     P = dir_refs[0].shape[2]
 
@@ -647,12 +680,6 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
     oz = origins_ref[view, 2]
 
     tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))
-
-    def chunk_of(i):
-        j = jnp.minimum(i, ccap - 1)
-        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
-        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
-        return jnp.where(overflow, i, ci16)
 
     def copy_op(i, buf):
         ci = chunk_of(i)
@@ -698,8 +725,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     plain streamed sweep over the raw chunk list."""
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    list_overflow = count < 0
-    trip = jnp.where(list_overflow, n_chunks_total, count)
+    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                     n_chunks_total)
     COLS = pack_buf.shape[1]
     P = dir_refs[0].shape[2]
 
@@ -724,12 +751,6 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
         s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
         return c
     jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
-
-    def chunk_of(i):
-        j = jnp.minimum(i, ccap - 1)
-        word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
-        ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
-        return jnp.where(list_overflow, i, ci16)
 
     def copy_pack(i, buf):
         return pltpu.make_async_copy(
@@ -812,7 +833,7 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
                                    "stage_cap"))
 def raster_tiles_pallas_streamed(
     clist: jax.Array,         # (K*T*ccap,) int32 chunk ids, ascending per tile
-    counts: jax.Array,        # (K*T,) int32 (-1 = overflow: scan all)
+    counts: jax.Array,        # (K*T,) int32 (-1 scan all; <=-2 block mode)
     origin: jax.Array,        # (K,3)
     pack: jax.Array,          # (COLS, Fp) f32 — stays in HBM
     dir_planes: tuple,        # 3x (K*T, P)

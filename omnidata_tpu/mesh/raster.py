@@ -424,7 +424,14 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
 def admission_lists(overlap, true_counts, ccap: int, hier: bool):
     """Per-tile ascending chunk-id lists from the (rows, n_chunks) overlap
     matrix. Returns (ids (rows, ccap), counts (rows,)); counts == -1 marks
-    overflow rows where the kernel scans all chunks instead.
+    overflow rows where the kernel scans all chunks instead. On the hier
+    path, overflow rows whose 8-chunk Morton-BLOCK list still fits ccap get
+    counts = -(bcount)-2 and ids holding ascending block ids — the kernel
+    expands each block to its 8 chunks (pallas_raster._chunk_selector),
+    which is winner-exact (extra chunks in an admitted block stage/hit
+    nothing) and 12-24x cheaper than the scan-all cliff: on the 584k-tri
+    bench scan a ccap-192 overflow tile scans ~190 block-expanded chunks
+    instead of all 4570 (~26 ms of sweep for ONE tile).
 
     hier=False: one exact top_k over the full key matrix.
     hier=True: hierarchical exact admission — lax.top_k over the full
@@ -474,7 +481,19 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
     ids = jnp.where(vals2 > ca, jnp.take_along_axis(cand, idx2, 1), 0)
     if k2 < ccap:
         ids = jnp.pad(ids, ((0, 0), (0, ccap - k2)))
-    counts = jnp.where((true_counts > k2) | (bcount > bcap), -1, true_counts)
+    # chunk-list overflow but the block list fits -> block mode: ship the
+    # ascending block ids (bvals carries the same real-first ordering trick)
+    ids_block = jnp.where(bvals > ncb, bidx, 0)
+    if bcap < ccap:
+        ids_block = jnp.pad(ids_block, ((0, 0), (0, ccap - bcap)))
+    chunk_over = true_counts > k2
+    block_mode = chunk_over & (bcount <= bcap)
+    ids = jnp.where(block_mode[:, None], ids_block, ids)
+    counts = jnp.where(
+        chunk_over,
+        jnp.where(bcount <= bcap, -bcount - 2, -1),
+        true_counts,
+    )
     return ids, counts
 
 

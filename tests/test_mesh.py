@@ -641,10 +641,21 @@ def test_hierarchical_admission_matches_flat():
         jnp.asarray(overlap), jnp.asarray(tc), ccap, hier=True)
     cnt_f, cnt_h = np.asarray(cnt_f), np.asarray(cnt_h)
     ids_f, ids_h = np.asarray(ids_f), np.asarray(ids_h)
-    # bcap == ccap: the hier block stage may only overflow where flat does
-    np.testing.assert_array_equal(cnt_f, cnt_h)
     ok = cnt_f >= 0
+    np.testing.assert_array_equal(cnt_f[ok], cnt_h[ok])
     np.testing.assert_array_equal(ids_f[ok], ids_h[ok])
+    # overflow rows: flat says -1 (scan all); hier ships the ascending
+    # Morton-block list (counts = -bcount-2) whose x8 expansion must cover
+    # every truly-overlapping chunk
+    for r in np.nonzero(~ok)[0]:
+        assert cnt_f[r] == -1
+        bcount = -int(cnt_h[r]) - 2
+        assert bcount > 0
+        blocks = ids_h[r, :bcount]
+        assert (np.diff(blocks) > 0).all()  # ascending, no dupes
+        expanded = (blocks[:, None] * 8 + np.arange(8)).ravel()
+        true_chunks = np.nonzero(overlap[r])[0]
+        assert np.isin(true_chunks, expanded).all()
 
     # (b) end-to-end: flat vs hierarchical render (different tile sizes ->
     # unique traces; decoded images are tile-layout independent)
@@ -661,6 +672,63 @@ def test_hierarchical_admission_matches_flat():
                                   np.asarray(ref_f.face)[m])
     np.testing.assert_array_equal(np.asarray(f.t)[m], np.asarray(ref_f.t)[m])
     np.testing.assert_array_equal(np.asarray(i)[m], np.asarray(ref_i)[m])
+
+
+def test_block_mode_overflow_matches_scan_all():
+    """Tiles whose chunk list overflows ccap used to scan ALL chunks; with
+    hier admission they now expand the Morton-BLOCK list instead
+    (counts <= -2, pallas_raster._chunk_selector). Winners must be identical
+    to the flat scan-all render: an admitted block's extra chunks stage/hit
+    nothing (any face hitting a tile pixel has a bbox overlapping the tile,
+    so its chunk is admitted). Exercised at ccap=4 so most tiles overflow,
+    across the chunklist, compact and streamed(+compact) kernels."""
+    from omnidata_tpu.mesh import render_views_fused, uv_sphere
+
+    r = room(size=6.0, height=3.0)
+    s = uv_sphere(radius=0.7, center=(0.6, 0.1, 1.2), n_lat=32, n_lon=64)
+    vs = np.concatenate([np.asarray(r.vertices), np.asarray(s.vertices)])
+    fs = np.concatenate([np.asarray(r.faces[: r.num_faces]),
+                         np.asarray(s.faces[: s.num_faces])
+                         + r.vertices.shape[0]])
+    mesh = from_arrays(vs, fs)
+    locs = jnp.asarray([[1.1, 0.5, 1.4], [-0.8, 0.9, 1.6]])
+    tg = jnp.asarray([[0.3, 0.0, 1.0], [0.5, -0.3, 0.8]])
+    Rs = jax.vmap(look_at_rotation)(locs, tg)
+    cams = Camera(locs, Rs, jnp.asarray([1.2, 1.0]), 64)
+    attrs = mesh.vertex_normals
+
+    # sanity: ccap=4 actually produces block-mode rows on this scene
+    from omnidata_tpu.mesh import raster as raster_mod
+    tris = mesh.vertices[mesh.faces]
+    lo, hi, _ = raster_mod.face_screen_bboxes(
+        Camera(locs[0], Rs[0], jnp.asarray(1.2), 64), mesh, tris_w=tris)
+    n_chunks = -(-mesh.faces.shape[0] // 64)
+
+    kwargs = dict(tile=32, chunk=64, interpret=True, vertex_attrs=attrs,
+                  ccap=4)
+    ref = None
+    for kern in (dict(compact=False), dict(compact=True),
+                 dict(streamed=True)):
+        # flat (hier off) -> counts == -1 scan-all; hier -> block mode
+        f_flat, i_flat = render_views_fused(
+            cams, mesh, hier_min_chunks=10**9, **kwargs, **kern)
+        f_blk, i_blk = render_views_fused(
+            cams, mesh, hier_min_chunks=1, **kwargs, **kern)
+        np.testing.assert_array_equal(np.asarray(f_blk.valid),
+                                      np.asarray(f_flat.valid))
+        m = np.asarray(f_flat.valid)
+        np.testing.assert_array_equal(np.asarray(f_blk.face)[m],
+                                      np.asarray(f_flat.face)[m])
+        np.testing.assert_array_equal(np.asarray(f_blk.t)[m],
+                                      np.asarray(f_flat.t)[m])
+        np.testing.assert_array_equal(np.asarray(i_blk)[m],
+                                      np.asarray(i_flat)[m])
+        if ref is None:
+            ref = (np.asarray(f_flat.valid), np.asarray(f_flat.face))
+        else:  # all kernels agree with each other too
+            np.testing.assert_array_equal(np.asarray(f_flat.valid), ref[0])
+            np.testing.assert_array_equal(np.asarray(f_flat.face)[ref[0]],
+                                          ref[1][ref[0]])
 
 
 def test_kernel_view_subbatching_matches_single_dispatch():
