@@ -421,7 +421,11 @@ def scene_pack(mesh: TriangleMesh, attrs: tuple = ()) -> jax.Array:
     return jnp.concatenate(cols, 1)
 
 
-def admission_lists(overlap, true_counts, ccap: int, hier: bool):
+EXPAND_BCAP = 32  # hier stage-2 sort width = 8*EXPAND_BCAP candidate chunks
+
+
+def admission_lists(overlap, true_counts, ccap: int, hier: bool,
+                    expand_bcap: int | None = None):
     """Per-tile ascending chunk-id lists from the (rows, n_chunks) overlap
     matrix. Returns (ids (rows, ccap), counts (rows,)); counts == -1 marks
     overflow rows where the kernel scans all chunks instead. On the hier
@@ -437,18 +441,19 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
     hier=True: hierarchical exact admission — lax.top_k over the full
     (rows, n_chunks) key matrix is a near-full sort; on a 584k-face scan
     (4570 chunks x 2048 tile rows) it dominated the whole render (~9.4M
-    keys/dispatch). Two stages cut the sorted width ~3-12x while staying
+    keys/dispatch). Two stages cut the sorted width while staying
     candidate-complete: (1) top_k over 8-chunk Morton BLOCKS (any-overlap),
-    (2) exact per-chunk top_k over only the admitted blocks' expanded chunk
-    ids. bcap == ccap, so the block stage can never introduce an overflow
-    the chunk stage wouldn't already hit (bcount > ccap implies
-    true_counts > ccap): tiles whose geometry is scattered across many
-    Morton blocks keep exact short lists instead of falling off a
-    scan-all-chunks cliff (the old bcap = ccap/4 floor-48 sent p99 tiles —
-    86 chunks/tile on the bench scan — down that cliff).
+    (2) exact per-chunk top_k over only the FIRST expand_bcap admitted
+    blocks' expanded chunk ids. Rows with more than expand_bcap admitted
+    blocks take BLOCK MODE (counts = -bcount-2, winner-exact, see above)
+    instead of an exact list — on the bench scan bcount is p50 3 / p99 20 /
+    max 29 per tile, so expand_bcap=32 makes stage 2 sort 256-wide instead
+    of ccap*8=1536-wide (admission measured 4.7 -> ~2 ms/view) with zero
+    block-mode rows; scattered-geometry scenes degrade to block mode, not
+    to the scan-all cliff (that needs bcount > ccap too).
 
-    Both paths produce IDENTICAL ids/counts for rows where neither
-    overflows (tests compare them directly)."""
+    Both paths produce IDENTICAL ids/counts for rows where the hier path
+    returns an exact list (counts >= 0; tests compare them directly)."""
     rows, n_chunks = overlap.shape
     counts = jnp.where(true_counts > ccap, -1, true_counts)
     if not hier:
@@ -469,11 +474,12 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
     bkeys = jnp.where(ovb_any, 2 * ncb - bi, -bi)
     bvals, bidx = jax.lax.top_k(bkeys, bcap)  # ascending block ids first
     blist = jnp.where(bvals > ncb, bidx, ncb)  # pad -> zero-bit sentinel
-    cand = (blist[:, :, None] * ab
-            + jnp.arange(ab, dtype=jnp.int32)).reshape(rows, bcap * ab)
+    bcap2 = min(bcap, expand_bcap or EXPAND_BCAP)
+    cand = (blist[:, :bcap2, None] * ab
+            + jnp.arange(ab, dtype=jnp.int32)).reshape(rows, bcap2 * ab)
     ov2p = jnp.pad(overlap, ((0, 0), (0, (ncb + 1) * ab - n_chunks)))
-    ovc = jnp.take_along_axis(ov2p, cand, axis=1)  # (rows, bcap*ab)
-    ca = bcap * ab
+    ovc = jnp.take_along_axis(ov2p, cand, axis=1)  # (rows, bcap2*ab)
+    ca = bcap2 * ab
     ai = jnp.arange(ca, dtype=jnp.int32)
     keys2 = jnp.where(ovc, 2 * ca - ai, -ai)
     k2 = min(ccap, ca)
@@ -481,18 +487,19 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
     ids = jnp.where(vals2 > ca, jnp.take_along_axis(cand, idx2, 1), 0)
     if k2 < ccap:
         ids = jnp.pad(ids, ((0, 0), (0, ccap - k2)))
-    # chunk-list overflow but the block list fits -> block mode: ship the
-    # ascending block ids (bvals carries the same real-first ordering trick)
+    # exact list only when every admitted block was expanded AND the chunk
+    # count fits; block mode (ascending block ids, bvals carries the same
+    # real-first ordering trick) when the block list fits; else scan-all
     ids_block = jnp.where(bvals > ncb, bidx, 0)
     if bcap < ccap:
         ids_block = jnp.pad(ids_block, ((0, 0), (0, ccap - bcap)))
-    chunk_over = true_counts > k2
-    block_mode = chunk_over & (bcount <= bcap)
+    exact = (true_counts <= k2) & (bcount <= bcap2)
+    block_mode = ~exact & (bcount <= bcap)
     ids = jnp.where(block_mode[:, None], ids_block, ids)
     counts = jnp.where(
-        chunk_over,
-        jnp.where(bcount <= bcap, -bcount - 2, -1),
+        exact,
         true_counts,
+        jnp.where(bcount <= bcap, -bcount - 2, -1),
     )
     return ids, counts
 
@@ -500,7 +507,7 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool):
 @partial(jax.jit, static_argnames=("tile", "cap", "chunk", "interpret",
                                    "ccap", "streamed", "compact",
                                    "stage_cap", "hier_min_chunks",
-                                   "max_views_per_kernel"))
+                                   "max_views_per_kernel", "expand_bcap"))
 def render_views_fused(
     cameras: Camera,
     mesh: TriangleMesh,
@@ -515,6 +522,7 @@ def render_views_fused(
     stage_cap: int | None = None,
     hier_min_chunks: int | None = None,
     max_views_per_kernel: int | None = None,
+    expand_bcap: int | None = None,
 ):
     """Batched Pallas render: K cameras in ONE kernel dispatch (grid K*T),
     with optional in-kernel vertex-attribute interpolation.
@@ -612,6 +620,7 @@ def render_views_fused(
         overlap.reshape(K * T, n_chunks), true_counts.reshape(K * T), ccap,
         hier=n_chunks > (HIER_ADMISSION_MIN_CHUNKS
                          if hier_min_chunks is None else hier_min_chunks),
+        expand_bcap=expand_bcap,
     )
     assert n_chunks < (1 << 16), "chunk ids are packed as 16-bit pairs"
     # SMEM budget -> views per KERNEL dispatch. The packed per-tile chunk-id

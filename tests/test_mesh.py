@@ -641,21 +641,42 @@ def test_hierarchical_admission_matches_flat():
         jnp.asarray(overlap), jnp.asarray(tc), ccap, hier=True)
     cnt_f, cnt_h = np.asarray(cnt_f), np.asarray(cnt_h)
     ids_f, ids_h = np.asarray(ids_f), np.asarray(ids_h)
-    ok = cnt_f >= 0
+    ok = cnt_h >= 0  # rows where hier returns an EXACT list
     np.testing.assert_array_equal(cnt_f[ok], cnt_h[ok])
     np.testing.assert_array_equal(ids_f[ok], ids_h[ok])
-    # overflow rows: flat says -1 (scan all); hier ships the ascending
-    # Morton-block list (counts = -bcount-2) whose x8 expansion must cover
-    # every truly-overlapping chunk
+
+    def check_block_rows(cnt, ids, rows_):
+        # block-mode rows (counts = -bcount-2): ascending Morton-block list
+        # whose x8 expansion covers every truly-overlapping chunk
+        for r in rows_:
+            bcount = -int(cnt[r]) - 2
+            assert bcount > 0
+            blocks = ids[r, :bcount]
+            assert (np.diff(blocks) > 0).all()  # ascending, no dupes
+            expanded = (blocks[:, None] * 8 + np.arange(8)).ravel()
+            true_chunks = np.nonzero(overlap[r])[0]
+            assert np.isin(true_chunks, expanded).all()
+
+    assert (~ok).sum() > 0  # the synthetic matrix includes an overflow row
     for r in np.nonzero(~ok)[0]:
-        assert cnt_f[r] == -1
-        bcount = -int(cnt_h[r]) - 2
-        assert bcount > 0
-        blocks = ids_h[r, :bcount]
-        assert (np.diff(blocks) > 0).all()  # ascending, no dupes
-        expanded = (blocks[:, None] * 8 + np.arange(8)).ravel()
-        true_chunks = np.nonzero(overlap[r])[0]
-        assert np.isin(true_chunks, expanded).all()
+        assert cnt_f[r] == -1  # ccap-overflow rows overflow the flat path too
+    check_block_rows(cnt_h, ids_h, [r for r in np.nonzero(~ok)[0]
+                                    if cnt_h[r] <= -2])
+
+    # (a2) a binding expand_bcap: rows with more admitted blocks than the
+    # stage-2 expansion width degrade to block mode (never to -1 scan-all
+    # unless the block list itself overflows), and the expansion covers
+    ids_e, cnt_e = raster_mod.admission_lists(
+        jnp.asarray(overlap), jnp.asarray(tc), ccap, hier=True,
+        expand_bcap=2)
+    ids_e, cnt_e = np.asarray(ids_e), np.asarray(cnt_e)
+    ovp = np.pad(overlap, ((0, 0), (0, (-n_chunks) % 8)))
+    bc = (ovp.reshape(64, -1, 8).any(-1)).sum(-1)
+    assert ((cnt_e >= 0) == ((bc <= 2) & (tc <= ccap))).all()
+    assert (cnt_e != -1).all() or (bc[cnt_e == -1] > ccap).all()
+    np.testing.assert_array_equal(cnt_e[cnt_e >= 0], cnt_f[cnt_e >= 0])
+    np.testing.assert_array_equal(ids_e[cnt_e >= 0], ids_f[cnt_e >= 0])
+    check_block_rows(cnt_e, ids_e, np.nonzero(cnt_e <= -2)[0])
 
     # (b) end-to-end: flat vs hierarchical render (different tile sizes ->
     # unique traces; decoded images are tile-layout independent)
@@ -729,6 +750,24 @@ def test_block_mode_overflow_matches_scan_all():
             np.testing.assert_array_equal(np.asarray(f_flat.valid), ref[0])
             np.testing.assert_array_equal(np.asarray(f_flat.face)[ref[0]],
                                           ref[1][ref[0]])
+
+    # expand_bcap binding alone (ccap roomy): exact lists would fit, but the
+    # narrow stage-2 expansion degrades those rows to block mode — still
+    # bit-identical to the fully exact render
+    f_ex, i_ex = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                    interpret=True, vertex_attrs=attrs,
+                                    ccap=48, hier_min_chunks=1, compact=True,
+                                    expand_bcap=1)
+    f_ref, i_ref = render_views_fused(cams, mesh, tile=32, chunk=64,
+                                      interpret=True, vertex_attrs=attrs,
+                                      ccap=48, hier_min_chunks=10**9,
+                                      compact=True)
+    np.testing.assert_array_equal(np.asarray(f_ex.valid),
+                                  np.asarray(f_ref.valid))
+    m = np.asarray(f_ref.valid)
+    np.testing.assert_array_equal(np.asarray(f_ex.face)[m],
+                                  np.asarray(f_ref.face)[m])
+    np.testing.assert_array_equal(np.asarray(i_ex)[m], np.asarray(i_ref)[m])
 
 
 def test_kernel_view_subbatching_matches_single_dispatch():
