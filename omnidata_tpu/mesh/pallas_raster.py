@@ -33,6 +33,7 @@ per-view ray origins prefetched from a (K, 3) SMEM table.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -96,7 +97,7 @@ def _mt_packed_block(pre, dx, dy, dz, tie_mask):
 
 
 def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
-                    acc_out, tie_mask, block_start=None):
+                    acc_out, tie_mask, block_start=None, get_flag=None):
     """Pixel-block-OUTER / chunk-INNER sweep with fori-carried (best, acc),
     writing the grid-mapped output refs exactly ONCE per block.
 
@@ -111,10 +112,16 @@ def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
     precompute moves inside the block loop (it is (1, chunk)-shaped —
     negligible against the (pblk, chunk) candidate math).
 
-    get_chunk(i) -> (COLS, chunk) pack slice; called exactly once per
-    (block, chunk) in ascending i order, so it may drive a double-buffered
-    DMA pipeline. block_start() runs before each block's loop (DMA
-    prologue). Results are bit-identical to the old pattern: same fold
+    get_chunk(i) -> (COLS, chunk) pack slice (possibly with extra trailing
+    rows — only the first 9 geometry rows and the first COLS rows are
+    used); called once per swept (block, chunk) in ascending i order, so it
+    may drive a double-buffered DMA pipeline. block_start() runs before
+    each block's loop (DMA prologue). get_flag(i, pb) -> (chunk,) row of
+    0/1 y-occupancy flags: when given, a chunk whose flag row is all-zero
+    for pixel block pb is SKIPPED via lax.cond — winner-exact, because the
+    flags are staged from the same conservative bboxes (a face hitting a
+    pixel in block pb has a y-range overlapping pb's rows, so its chunk's
+    flag is set). Results are bit-identical to the old pattern: same fold
     order, same masked-improvement tie semantics."""
     ox, oy, oz = origin
     P = dir_refs[0].shape[2]
@@ -128,7 +135,7 @@ def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
         if block_start is not None:
             block_start()
 
-        def body(i, carry):
+        def compute(i, carry):
             best, acc = carry
             a = get_chunk(i)
             rows = tuple(a[j][None, :] for j in range(9))
@@ -138,12 +145,20 @@ def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
             improved = (pj & tie_mask) < (best & tie_mask)
             win = (packed == pj[:, None]).astype(jnp.float32)
             contrib = jax.lax.dot_general(
-                win, a, (((1,), (1,)), ((), ())),
+                win, a[:COLS], (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # (pblk, COLS)
             return (jnp.where(improved, pj, best),
                     jnp.where(improved[:, None], contrib, acc))
+
+        if get_flag is None:
+            body = compute
+        else:
+            def body(i, carry, _pb=pb):
+                occupied = jnp.max(get_flag(i, _pb)) > 0.5
+                return jax.lax.cond(
+                    occupied, lambda c: compute(i, c), lambda c: c, carry)
 
         best, acc = jax.lax.fori_loop(
             0, trip, body,
@@ -486,17 +501,46 @@ def max_views_per_dispatch(tiles_per_view: int, ccap: int | None = None,
     return max(1, smem_budget // (tiles_per_view * words * 4))
 
 
+def _band_mask_and_flags(bb, tx, ty, tile: int, pblk: int, nblocks: int):
+    """Decode a (1, chunk) u8-packed bbox plane (lo_tx|hi_tx|lo_by|hi_by —
+    x at TILE granularity, y at 8-pixel-row BAND granularity) into the tile
+    overlap mask plus per-pixel-block y-occupancy flag rows.
+
+    The flags ride the staging pack as extra rows (one per pass-2 pixel
+    block): pass 2 skips staged chunks whose flag row is all-zero for its
+    block — winner-exact, the bbox being a superset of coverage. Pixel
+    block b covers the tile's row-major pixels [b*pblk, (b+1)*pblk), i.e.
+    image rows [ty*tile + b*pblk//tile, ...]; its band range is the
+    (possibly unaligned) covering range, so any tile/pblk combination is
+    conservative."""
+    lo_tx = bb & 0xFF
+    hi_tx = (bb >> 8) & 0xFF
+    lo_by = (bb >> 16) & 0xFF
+    hi_by = (bb >> 24) & 0xFF
+    y0 = ty * tile  # traced scalar; band indices are y//8
+    m = ((lo_tx <= tx) & (tx <= hi_tx)
+         & (lo_by <= (y0 + tile - 1) // 8) & (hi_by >= y0 // 8))
+    rows = []
+    for b in range(nblocks):
+        r0 = (b * pblk) // tile          # static rows within the tile
+        r1 = ((b + 1) * pblk - 1) // tile
+        fb = m & (lo_by <= (y0 + r1) // 8) & (hi_by >= (y0 + r0) // 8)
+        rows.append(fb.astype(jnp.float32))
+    return m.astype(jnp.float32), jnp.concatenate(rows, axis=0)
+
+
 def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
                          bbox_ref, dir_refs, packed_out, acc_out, s_ref, *,
                          chunk: int, pblk: int, tiles_per_view: int,
                          n1d: int, ccap: int, n_chunks_total: int,
-                         stage_cap: int):
+                         stage_cap: int, tile: int):
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
     trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
                                      n_chunks_total)
     COLS = pack_ref.shape[1]
     P = dir_refs[0].shape[2]
+    nblocks = P // pblk
 
     view = t_idx // tiles_per_view
     tiv = t_idx % tiles_per_view
@@ -517,7 +561,8 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     # unconditional full-(nblk+1) memset measured ~34 us of the compact
     # kernel's 43 us per-tile intercept at stage_cap=4096.
     def _zblk(i, c):
-        s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
+        s_ref[jnp.minimum(i, nblk)] = jnp.zeros(
+            (COLS + nblocks, chunk), jnp.float32)
         return c
     jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
 
@@ -532,13 +577,9 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
     def body1(i, base):
         ci = chunk_of(i)
         bb = bbox_ref[0, 0, pl.ds(ci * chunk, chunk)][None, :]  # (1,chunk)
-        lo_tx = bb & 0xFF
-        hi_tx = (bb >> 8) & 0xFF
-        lo_ty = (bb >> 16) & 0xFF
-        hi_ty = (bb >> 24) & 0xFF
-        m = (lo_tx <= tx) & (tx <= hi_tx) & (lo_ty <= ty) & (ty <= hi_ty)
-        mf = m.astype(jnp.float32)
+        mf, flags = _band_mask_and_flags(bb, tx, ty, tile, pblk, nblocks)
         a = pack_ref[0, :, pl.ds(ci * chunk, chunk)]  # (COLS, chunk)
+        a = jnp.concatenate([a, flags], axis=0)
         return _stage_window(a, mf, base, s_ref, tri_lower, chunk, nblk)
 
     staged = jax.lax.fori_loop(0, trip, body1, jnp.int32(0))
@@ -551,7 +592,8 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
         trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
         # zero-padded tail columns are degenerate (e1=e2=0 -> no hit)
         _mt_sweep_carry(trip2, lambda i: s_ref[i], (ox, oy, oz), dir_refs,
-                        pblk, packed_out, acc_out, tie_mask)
+                        pblk, packed_out, acc_out, tie_mask,
+                        get_flag=lambda i, pb: s_ref[i, pl.ds(COLS + pb, 1)])
 
     @pl.when(fallback)
     def _fb():
@@ -593,6 +635,9 @@ def raster_tiles_pallas_compact(
     assert stage_cap % chunk == 0
     pblk = min(pblk, P)
     assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
+    tile = math.isqrt(P)
+    assert tile * tile == P, f"non-square tile (P={P})"
+    nblocks = P // pblk
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
@@ -620,7 +665,10 @@ def raster_tiles_pallas_compact(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((stage_cap // chunk + 1, COLS, chunk), jnp.float32),
+            # + nblocks per-pixel-block y-occupancy flag rows (see
+            # _band_mask_and_flags)
+            pltpu.VMEM((stage_cap // chunk + 1, COLS + nblocks, chunk),
+                       jnp.float32),
         ],
     )
 
@@ -630,7 +678,7 @@ def raster_tiles_pallas_compact(
             clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
             (d0, d1, d2), packed_o, acc_o, s_ref, chunk=chunk, pblk=pblk,
             tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
-            n_chunks_total=n_chunks_total, stage_cap=stage_cap,
+            n_chunks_total=n_chunks_total, stage_cap=stage_cap, tile=tile,
         )
 
     packed, acc = pl.pallas_call(
@@ -716,7 +764,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
                                   acc_out, pack_buf, bbox_buf, s_ref,
                                   sem_p, sem_b, *, chunk: int, pblk: int,
                                   tiles_per_view: int, n1d: int, ccap: int,
-                                  n_chunks_total: int, stage_cap: int):
+                                  n_chunks_total: int, stage_cap: int,
+                                  tile: int):
     """Streamed kernel with per-tile face compaction: pass 1 DMAs each
     admitted chunk's pack slice + bbox block and stream-compacts the faces
     whose tile-quantized bboxes overlap this tile into the dense VMEM
@@ -729,6 +778,7 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
                                      n_chunks_total)
     COLS = pack_buf.shape[1]
     P = dir_refs[0].shape[2]
+    nblocks = P // pblk
 
     view = t_idx // tiles_per_view
     tiv = t_idx % tiles_per_view
@@ -748,7 +798,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     # unconditional full-(nblk+1) memset measured ~34 us of the compact
     # kernel's 43 us per-tile intercept at stage_cap=4096.
     def _zblk(i, c):
-        s_ref[jnp.minimum(i, nblk)] = jnp.zeros((COLS, chunk), jnp.float32)
+        s_ref[jnp.minimum(i, nblk)] = jnp.zeros(
+            (COLS + nblocks, chunk), jnp.float32)
         return c
     jax.lax.fori_loop(0, jnp.minimum(trip + 1, nblk + 1), _zblk, 0)
 
@@ -788,14 +839,9 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
             jnp.int32, (8, chunk), 0) == jax.lax.rem(ci, 8)
         bb = jnp.sum(jnp.where(sel, bbox_buf[buf], 0), axis=0,
                      keepdims=True)  # (1, chunk)
-        lo_tx = bb & 0xFF
-        hi_tx = (bb >> 8) & 0xFF
-        lo_ty = (bb >> 16) & 0xFF
-        hi_ty = (bb >> 24) & 0xFF
-        m = (lo_tx <= tx) & (tx <= hi_tx) & (lo_ty <= ty) & (ty <= hi_ty)
-        mf = m.astype(jnp.float32)
-        return _stage_window(pack_buf[buf], mf, base, s_ref, tri_lower,
-                             chunk, nblk)
+        mf, flags = _band_mask_and_flags(bb, tx, ty, tile, pblk, nblocks)
+        a = jnp.concatenate([pack_buf[buf], flags], axis=0)
+        return _stage_window(a, mf, base, s_ref, tri_lower, chunk, nblk)
 
     staged = jax.lax.fori_loop(0, trip, body1, jnp.int32(0))
     fallback = staged > stage_cap
@@ -805,7 +851,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     def _dense():
         trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
         _mt_sweep_carry(trip2, lambda i: s_ref[i], (ox, oy, oz), dir_refs,
-                        pblk, packed_out, acc_out, tie_mask)
+                        pblk, packed_out, acc_out, tie_mask,
+                        get_flag=lambda i, pb: s_ref[i, pl.ds(COLS + pb, 1)])
 
     @pl.when(fallback)
     def _fb():
@@ -871,6 +918,9 @@ def raster_tiles_pallas_streamed(
     assert chunk <= (1 << _LANE_BITS), chunk
     pblk = min(pblk, P)  # small tiles: one pixel block
     assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
+    tile = math.isqrt(P)
+    assert tile * tile == P, f"non-square tile (P={P})"
+    nblocks = P // pblk
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
@@ -886,7 +936,7 @@ def raster_tiles_pallas_streamed(
     stage_rows = (stage_cap // chunk + 1) if compacting else 0
     vmem_est = 4 * (
         2 * COLS * chunk                  # pack_buf double buffer
-        + stage_rows * COLS * chunk       # compaction staging scratch
+        + stage_rows * (COLS + nblocks) * chunk  # compaction staging scratch
         + (2 * 8 * chunk if compacting else 0)  # bbox_buf
         + 2 * (3 * P)                     # dir blocks
         + 2 * (1 + COLS) * P              # packed + acc out blocks
@@ -909,7 +959,9 @@ def raster_tiles_pallas_streamed(
         extra_in = [bbox4]
         extra_scratch = [
             pltpu.VMEM((2, 8, chunk), jnp.int32),
-            pltpu.VMEM((stage_cap // chunk + 1, COLS, chunk), jnp.float32),
+            # + nblocks per-pixel-block y-occupancy flag rows
+            pltpu.VMEM((stage_cap // chunk + 1, COLS + nblocks, chunk),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
@@ -945,6 +997,7 @@ def raster_tiles_pallas_streamed(
                 sem_p, sem_b, chunk=chunk, pblk=pblk,
                 tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
                 n_chunks_total=n_chunks_total, stage_cap=stage_cap,
+                tile=tile,
             )
     else:
         def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,

@@ -654,20 +654,26 @@ def render_views_fused(
         pad1(p[:, i]) for p in (v0, e1, e2) for i in range(3)
     )
 
-    # per-view per-face tile-space bboxes, u8-packed lo_tx|hi_tx|lo_ty|
-    # hi_ty per int32 (one-pixel slack keeps the quantized test a superset
-    # of the float pixel-space test; dead faces quantize to lo=255 > hi=0
-    # so they never stage)
+    # per-view per-face screen bboxes, u8-packed lo_tx|hi_tx|lo_by|hi_by
+    # per int32: x at TILE granularity (the staging mask test), y at
+    # 8-pixel-row BAND granularity — finer than the tile in y, so the
+    # kernels both derive the tile mask AND per-pixel-block y-occupancy
+    # flags that let the sweep skip staged chunks confined to the other
+    # block (pallas_raster._band_mask_and_flags). One-pixel slack keeps the
+    # quantized test a superset of the float pixel-space test; dead faces
+    # quantize to lo=255 > hi=0 so they never stage.
     if compact:
-        assert n1d <= 256, (
-            f"compacting kernels pack tile indices as u8 ({n1d} tiles/axis "
-            f"at resolution {res} / tile {tile}): raise the tile size or "
-            "pass compact=False"
+        assert n1d <= 256 and res <= 2048, (
+            f"compacting kernels pack tile indices ({n1d}/axis) and 8-px "
+            f"y-bands ({res // 8}) as u8 (resolution {res} / tile {tile}): "
+            "raise the tile size or pass compact=False"
         )
         lo_t = jnp.clip(jnp.floor((lo - 1.0) / tile), 0, 255).astype(jnp.int32)
         hi_t = jnp.clip(jnp.floor((hi + 1.0) / tile), 0, 255).astype(jnp.int32)
+        lo_b = jnp.clip(jnp.floor((lo - 1.0) / 8.0), 0, 255).astype(jnp.int32)
+        hi_b = jnp.clip(jnp.floor((hi + 1.0) / 8.0), 0, 255).astype(jnp.int32)
         bbox_words = (lo_t[..., 0] | (hi_t[..., 0] << 8)
-                      | (lo_t[..., 1] << 16) | (hi_t[..., 1] << 24))
+                      | (lo_b[..., 1] << 16) | (hi_b[..., 1] << 24))
     outs = []
     for s in range(0, K, maxK):
         e = min(K, s + maxK)

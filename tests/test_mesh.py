@@ -587,6 +587,60 @@ def test_compact_kernel_matches_chunklist():
                                       err_msg=str(kw))
 
 
+def test_sweep_y_skip_flags():
+    """Per-pixel-block y-occupancy flags (pallas_raster._band_mask_and_flags):
+    staged chunks confined to one pixel block's image rows are skipped by the
+    sweep for the other block — winner-exact. White-box: the decode matches a
+    numpy band test and actually zeroes for y-local geometry; e2e: a scene of
+    horizontal strips renders bit-identical with compaction on and off."""
+    from omnidata_tpu.mesh import pallas_raster, render_views_fused
+
+    # white-box: tile=32 (4 bands), pblk=512 (2 blocks x 2 bands), tile row
+    # ty=1 covers bands 4-7; block 0 bands 4-5, block 1 bands 6-7
+    lo_by = np.array([0, 4, 6, 5, 0, 7], np.int32)
+    hi_by = np.array([3, 5, 7, 6, 9, 7], np.int32)
+    bb = jnp.asarray(2 | (5 << 8) | (lo_by << 16) | (hi_by << 24))[None, :]
+    mf, flags = jax.jit(
+        lambda b: pallas_raster._band_mask_and_flags(
+            b, tx=jnp.int32(3), ty=jnp.int32(1), tile=32, pblk=512, nblocks=2)
+    )(bb)
+    np.testing.assert_array_equal(np.asarray(mf)[0], [0, 1, 1, 1, 1, 1])
+    np.testing.assert_array_equal(np.asarray(flags),
+                                  [[0, 1, 0, 1, 1, 0],   # block 0: bands 4-5
+                                   [0, 0, 1, 1, 1, 1]])  # block 1: bands 6-7
+    # x out of tile range kills both
+    mf2, flags2 = jax.jit(
+        lambda b: pallas_raster._band_mask_and_flags(
+            b, tx=jnp.int32(7), ty=jnp.int32(1), tile=32, pblk=512, nblocks=2)
+    )(bb)
+    assert not np.asarray(mf2).any() and not np.asarray(flags2).any()
+
+    # e2e: thin horizontal strips on a wall at y=0 (camera looks along -y,
+    # so each strip's height range z maps to a narrow image-row band) ->
+    # staged chunks are y-local and the sweep skips them for the other
+    # pixel block; must stay bit-identical
+    vs, fs = [], []
+    for z in np.linspace(0.2, 2.0, 9):
+        v0 = len(vs)
+        vs.extend([[-2.0, 0.0, z], [2.0, 0.0, z],
+                   [2.0, 0.0, z + 0.1], [-2.0, 0.0, z + 0.1]])
+        fs.extend([[v0, v0 + 1, v0 + 2], [v0, v0 + 2, v0 + 3]])
+    mesh = from_arrays(np.asarray(vs, np.float32),
+                       np.asarray(fs, np.int32))
+    locs = jnp.asarray([[0.0, 4.0, 1.1]])
+    tg = jnp.asarray([[0.0, 0.0, 1.1]])
+    Rs = jax.vmap(look_at_rotation)(locs, tg)
+    cams = Camera(locs, Rs, jnp.asarray([1.0]), RES)
+    ref = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
+                             compact=False)
+    out = render_views_fused(cams, mesh, tile=32, chunk=64, interpret=True,
+                             compact=True)
+    assert np.asarray(ref.valid).sum() > 200  # strips actually visible
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(out.face), np.asarray(ref.face))
+    np.testing.assert_array_equal(np.asarray(out.t), np.asarray(ref.t))
+
+
 def test_pallas_small_tile_pixel_block():
     """tile=16 has P=256 < the default 512 pixel block; the kernel must
     clamp the block size instead of running zero pixel blocks (regression:
