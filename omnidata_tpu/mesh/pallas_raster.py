@@ -97,7 +97,8 @@ def _mt_packed_block(pre, dx, dy, dz, tie_mask):
 
 
 def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
-                    acc_out, tie_mask, block_start=None, get_flag=None):
+                    acc_out, tie_mask, block_start=None, get_flag=None,
+                    row: int = 0):
     """Pixel-block-OUTER / chunk-INNER sweep with fori-carried (best, acc),
     writing the grid-mapped output refs exactly ONCE per block.
 
@@ -129,9 +130,9 @@ def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
     big_packed = _big_packed()
     for pb in range(P // pblk):
         ps = slice(pb * pblk, (pb + 1) * pblk)
-        dx = dir_refs[0][0, 0, ps][:, None]
-        dy = dir_refs[1][0, 0, ps][:, None]
-        dz = dir_refs[2][0, 0, ps][:, None]
+        dx = dir_refs[0][row, 0, ps][:, None]
+        dy = dir_refs[1][row, 0, ps][:, None]
+        dz = dir_refs[2][row, 0, ps][:, None]
         if block_start is not None:
             block_start()
 
@@ -165,8 +166,8 @@ def _mt_sweep_carry(trip, get_chunk, origin, dir_refs, pblk, packed_out,
             (jnp.full((pblk,), big_packed, jnp.int32),
              jnp.zeros((pblk, COLS), jnp.float32)),
         )
-        packed_out[0, 0, ps] = best
-        acc_out[0, :, ps] = acc.T
+        packed_out[row, 0, ps] = best
+        acc_out[row, :, ps] = acc.T
 
 
 def _big_packed() -> jnp.int32:
@@ -282,21 +283,26 @@ CHUNK_LIST_CAP = 48  # chunks per tile; SMEM-bounded (ids are packed two per
 # needing more fall back to the full scan)
 
 
-def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
+def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref,
                            pack_ref, dir_refs, packed_out, acc_out, *,
-                           chunk: int, pblk: int, tiles_per_view: int,
-                           ccap: int, n_chunks_total: int):
+                           t_idx, row: int, chunk: int, pblk: int,
+                           tiles_per_view: int, ccap: int,
+                           n_chunks_total: int):
     """counts[t] >= 0: loop that many listed chunks; -1: scan ALL chunks;
-    <= -2: expand the listed Morton-block ids (see _chunk_selector)."""
-    t_idx = pl.program_id(0)
+    <= -2: expand the listed Morton-block ids (see _chunk_selector).
+
+    Tie semantics identical to the XLA reference: candidates whose t agrees
+    in all but the low 13 mantissa bits tie, and the LOWEST face id wins —
+    within a chunk via the lane id in the low bits, across chunks via
+    strict masked improvement (lists are ascending in chunk id). Geometry
+    rides the pack's rows 0-8 (scene_pack layout), so the sweep is the
+    shared _mt_sweep_carry over global VMEM pack slices."""
     count = counts_ref[t_idx]
     # clist packs two 16-bit ids per SMEM word (halves the scalar-memory
     # footprint so more views fit per dispatch); see _chunk_selector for the
     # exact-chunk / block-mode / full-scan counts encoding
     trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
                                      n_chunks_total)
-    COLS = pack_ref.shape[1]
-    P = dir_refs[0].shape[2]
 
     view = t_idx // tiles_per_view
     ox = origins_ref[view, 0]
@@ -304,107 +310,84 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref, tri_refs,
     oz = origins_ref[view, 2]
 
     tie_mask = jnp.int32(~((1 << _IDX_BITS) - 1))  # keep float bits only
-    big_packed = _big_packed()
+    _mt_sweep_carry(
+        trip, lambda i: pack_ref[0, :, pl.ds(chunk_of(i) * chunk, chunk)],
+        (ox, oy, oz), dir_refs, pblk, packed_out, acc_out, tie_mask, row=row)
 
-    for pb in range(P // pblk):
-        pslice = slice(pb * pblk, (pb + 1) * pblk)
-        dx = dir_refs[0][0, 0, pslice][:, None]
-        dy = dir_refs[1][0, 0, pslice][:, None]
-        dz = dir_refs[2][0, 0, pslice][:, None]
 
-        def body(i, carry):
-            best, acc = carry
-            ci = chunk_of(i)
-            sl = lambda r: r[0, 0, pl.ds(ci * chunk, chunk)][None, :]
-            pre = _mt_precompute(tuple(sl(tri_refs[i]) for i in range(9)),
-                                 ox, oy, oz)
-            # tie semantics identical to the XLA reference: candidates whose
-            # t agrees in all but the low 13 mantissa bits tie, and the
-            # LOWEST face id wins — within a chunk via the lane id in the
-            # low bits, across chunks via strict masked improvement (lists
-            # are ascending in chunk id)
-            packed = _mt_packed_block(pre, dx, dy, dz, tie_mask)
-            pj = jnp.min(packed, axis=1)
-            improved = (pj & tie_mask) < (best & tie_mask)
-
-            win = (packed == pj[:, None]).astype(jnp.float32)
-            a_slice = pack_ref[0, :, pl.ds(ci * chunk, chunk)]
-            contrib = jax.lax.dot_general(
-                win, a_slice, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            acc = jnp.where(improved[:, None], contrib, acc)
-            best = jnp.where(improved, pj, best)
-            return best, acc
-
-        best, acc = jax.lax.fori_loop(
-            0, trip, body,
-            (jnp.full((pblk,), big_packed, jnp.int32),
-             jnp.zeros((pblk, COLS), jnp.float32)),
-        )
-        packed_out[0, 0, pslice] = best
-        acc_out[0, :, pslice] = acc.T
+def _tiles_per_step(T: int, requested: int | None) -> int:
+    """Grid batching factor: sweep G tiles per grid step. MEASURED WORSE
+    than 1 on v5e for the streamed kernel (per-tile intercept 6.2 us at G=1
+    -> 10.2 us at G=4 on the 584k-tri scan: the per-tile cost is block-
+    pipeline work that scales with the out-block bytes, not per-step
+    scheduling overhead) — default stays 1; the knob remains for
+    experiments on other shapes."""
+    if requested is not None:
+        assert T % requested == 0, (T, requested)
+        return requested
+    return 1
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
-                                   "tiles_per_view", "ccap"))
+                                   "tiles_per_view", "ccap",
+                                   "tiles_per_step"))
 def raster_tiles_pallas_chunklist(
     clist: jax.Array,         # (K*T*ceil(ccap/2),) int32: PAIRS of 16-bit
                               # chunk ids (lo=even slot), ascending per tile
     counts: jax.Array,        # (K*T,) int32 chunks per tile
     origin: jax.Array,        # (K,3)
-    tri_planes: tuple,        # 9x (Fp,) f32 global SoA planes (shared)
-    pack: jax.Array,          # (COLS, Fp) f32 global scene pack (shared)
+    pack: jax.Array,          # (COLS, Fp) f32 global scene pack (shared;
+                              # geometry rides rows 0-9)
     dir_planes: tuple,        # 3x (K*T, P)
     chunk: int = 128,
     pblk: int = 512,
     interpret: bool = False,
     tiles_per_view: int = 64,
     ccap: int = CHUNK_LIST_CAP,
+    tiles_per_step: int | None = None,
 ):
-    Fp = tri_planes[0].shape[0]
     T = dir_planes[0].shape[0]
     P = dir_planes[0].shape[1]
     COLS = pack.shape[0]
+    Fp = pack.shape[1]
     n_chunks_total = Fp // chunk
     assert chunk <= (1 << _LANE_BITS), chunk
     assert (COLS - 10) % 3 == 0
-    n_attr = (COLS - 10) // 3
     pblk = min(pblk, P)  # small tiles: one pixel block
     assert P % pblk == 0, f"tile pixels {P} not divisible by pblk {pblk}"
+    G = _tiles_per_step(T, tiles_per_step)
     origins = origin.reshape(-1, 3)
 
-    tri3 = [a.reshape(1, 1, Fp) for a in tri_planes]
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
     pack3 = pack.reshape(1, COLS, Fp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # clist, counts, origins (SMEM scalars)
-        grid=(T,),
+        grid=(T // G,),
         in_specs=[
-            *[pl.BlockSpec((1, 1, Fp), lambda t, c, n, o: (0, 0, 0),
-                           memory_space=pltpu.VMEM) for _ in range(9)],
-            pl.BlockSpec((1, COLS, Fp), lambda t, c, n, o: (0, 0, 0),
+            pl.BlockSpec((1, COLS, Fp), lambda s, c, n, o: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+            *[pl.BlockSpec((G, 1, P), lambda s, c, n, o: (s, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+            pl.BlockSpec((G, 1, P), lambda s, c, n, o: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, COLS, P), lambda t, c, n, o: (t, 0, 0),
+            pl.BlockSpec((G, COLS, P), lambda s, c, n, o: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
 
-    def kernel(clist_ref, counts_ref, origins_ref, *refs):
-        _chunklist_tile_kernel(
-            clist_ref, counts_ref, origins_ref, refs[:9], refs[9],
-            refs[10:13], refs[13], refs[14], chunk=chunk, pblk=pblk,
-            tiles_per_view=tiles_per_view, ccap=ccap,
-            n_chunks_total=n_chunks_total,
-        )
+    def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,
+               packed_o, acc_o):
+        for j in range(G):
+            _chunklist_tile_kernel(
+                clist_ref, counts_ref, origins_ref, pack_ref,
+                (d0, d1, d2), packed_o, acc_o,
+                t_idx=pl.program_id(0) * G + j, row=j, chunk=chunk,
+                pblk=pblk, tiles_per_view=tiles_per_view, ccap=ccap,
+                n_chunks_total=n_chunks_total,
+            )
 
     packed, acc = pl.pallas_call(
         kernel,
@@ -415,7 +398,7 @@ def raster_tiles_pallas_chunklist(
         grid_spec=grid_spec,
         interpret=interpret,
     )(clist.astype(jnp.int32), counts.astype(jnp.int32), origins,
-      *tri3, pack3, *dir3)
+      pack3, *dir3)
 
     return _decode_winners(packed, acc, origins, dir_planes, tiles_per_view)
 
@@ -713,9 +696,9 @@ def raster_tiles_pallas_compact(
 
 def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
                           dir_refs, packed_out, acc_out, pack_buf, sem, *,
-                          chunk: int, pblk: int, tiles_per_view: int,
-                          ccap: int, n_chunks_total: int):
-    t_idx = pl.program_id(0)
+                          t_idx, row: int, chunk: int, pblk: int,
+                          tiles_per_view: int, ccap: int,
+                          n_chunks_total: int):
     count = counts_ref[t_idx]
     trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
                                      n_chunks_total)
@@ -756,13 +739,15 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
     # each pixel block replays the chunk DMAs (2x traffic) — measured
     # 0.45 us/chunk for the whole DMA+decode machinery vs ~6 us of sweep
     _mt_sweep_carry(trip, get_chunk, (ox, oy, oz), dir_refs, pblk,
-                    packed_out, acc_out, tie_mask, block_start=block_start)
+                    packed_out, acc_out, tie_mask, block_start=block_start,
+                    row=row)
 
 
 def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
                                   pack_hbm, bbox_hbm, dir_refs, packed_out,
                                   acc_out, pack_buf, bbox_buf, s_ref,
-                                  sem_p, sem_b, *, chunk: int, pblk: int,
+                                  sem_p, sem_b, *, t_idx, row: int,
+                                  chunk: int, pblk: int,
                                   tiles_per_view: int, n1d: int, ccap: int,
                                   n_chunks_total: int, stage_cap: int,
                                   tile: int):
@@ -772,7 +757,6 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     staging pack S; pass 2 sweeps ceil(staged/chunk) dense chunks from S
     (no DMA). Tiles that stage more than stage_cap faces fall back to the
     plain streamed sweep over the raw chunk list."""
-    t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
     trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
                                      n_chunks_total)
@@ -852,7 +836,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
         trip2 = (jnp.minimum(staged, stage_cap) + chunk - 1) // chunk
         _mt_sweep_carry(trip2, lambda i: s_ref[i], (ox, oy, oz), dir_refs,
                         pblk, packed_out, acc_out, tie_mask,
-                        get_flag=lambda i, pb: s_ref[i, pl.ds(COLS + pb, 1)])
+                        get_flag=lambda i, pb: s_ref[i, pl.ds(COLS + pb, 1)],
+                        row=row)
 
     @pl.when(fallback)
     def _fb():
@@ -872,12 +857,12 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
 
         _mt_sweep_carry(trip, get_chunk, (ox, oy, oz), dir_refs, pblk,
                         packed_out, acc_out, tie_mask,
-                        block_start=block_start)
+                        block_start=block_start, row=row)
 
 
 @partial(jax.jit, static_argnames=("chunk", "pblk", "interpret",
                                    "tiles_per_view", "ccap", "n1d",
-                                   "stage_cap"))
+                                   "stage_cap", "tiles_per_step"))
 def raster_tiles_pallas_streamed(
     clist: jax.Array,         # (K*T*ccap,) int32 chunk ids, ascending per tile
     counts: jax.Array,        # (K*T,) int32 (-1 scan all; <=-2 block mode)
@@ -892,6 +877,7 @@ def raster_tiles_pallas_streamed(
     bbox_words: jax.Array | None = None,  # (K, Fp) i32 -> compaction on
     n1d: int = 8,
     stage_cap: int = STREAMED_STAGE_CAP,
+    tiles_per_step: int | None = None,
 ):
     """Same contract/result as raster_tiles_pallas_chunklist but with the
     scene pack streamed from HBM per chunk — no mesh-size VMEM limit.
@@ -921,6 +907,7 @@ def raster_tiles_pallas_streamed(
     tile = math.isqrt(P)
     assert tile * tile == P, f"non-square tile (P={P})"
     nblocks = P // pblk
+    G = _tiles_per_step(T, tiles_per_step)
     origins = origin.reshape(-1, 3)
 
     dir3 = [a.reshape(T, 1, P) for a in dir_planes]
@@ -938,8 +925,8 @@ def raster_tiles_pallas_streamed(
         2 * COLS * chunk                  # pack_buf double buffer
         + stage_rows * (COLS + nblocks) * chunk  # compaction staging scratch
         + (2 * 8 * chunk if compacting else 0)  # bbox_buf
-        + 2 * (3 * P)                     # dir blocks
-        + 2 * (1 + COLS) * P              # packed + acc out blocks
+        + 2 * G * (3 * P)                 # dir blocks
+        + 2 * G * (1 + COLS) * P          # packed + acc out blocks
     )
     assert vmem_est <= 12 * 1024 * 1024, (
         f"streamed raster kernel needs ~{vmem_est / 1e6:.1f} MB of VMEM "
@@ -967,17 +954,17 @@ def raster_tiles_pallas_streamed(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T,),
+        grid=(T // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # pack stays off-chip
             *([pl.BlockSpec(memory_space=pl.ANY)] if compacting else []),
-            *[pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+            *[pl.BlockSpec((G, 1, P), lambda s, c, n, o: (s, 0, 0),
                            memory_space=pltpu.VMEM) for _ in range(3)],
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, P), lambda t, c, n, o: (t, 0, 0),
+            pl.BlockSpec((G, 1, P), lambda s, c, n, o: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, COLS, P), lambda t, c, n, o: (t, 0, 0),
+            pl.BlockSpec((G, COLS, P), lambda s, c, n, o: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -991,23 +978,27 @@ def raster_tiles_pallas_streamed(
         def kernel(clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
                    d0, d1, d2, packed_o, acc_o, pack_buf, sem_p, bbox_buf,
                    s_ref, sem_b):
-            _streamed_compact_tile_kernel(
-                clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
-                (d0, d1, d2), packed_o, acc_o, pack_buf, bbox_buf, s_ref,
-                sem_p, sem_b, chunk=chunk, pblk=pblk,
-                tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
-                n_chunks_total=n_chunks_total, stage_cap=stage_cap,
-                tile=tile,
-            )
+            for j in range(G):
+                _streamed_compact_tile_kernel(
+                    clist_ref, counts_ref, origins_ref, pack_ref, bbox_ref,
+                    (d0, d1, d2), packed_o, acc_o, pack_buf, bbox_buf, s_ref,
+                    sem_p, sem_b, t_idx=pl.program_id(0) * G + j, row=j,
+                    chunk=chunk, pblk=pblk,
+                    tiles_per_view=tiles_per_view, n1d=n1d, ccap=ccap,
+                    n_chunks_total=n_chunks_total, stage_cap=stage_cap,
+                    tile=tile,
+                )
     else:
         def kernel(clist_ref, counts_ref, origins_ref, pack_ref, d0, d1, d2,
                    packed_o, acc_o, pack_buf, sem):
-            _streamed_tile_kernel(
-                clist_ref, counts_ref, origins_ref, pack_ref, (d0, d1, d2),
-                packed_o, acc_o, pack_buf, sem, chunk=chunk, pblk=pblk,
-                tiles_per_view=tiles_per_view, ccap=ccap,
-                n_chunks_total=n_chunks_total,
-            )
+            for j in range(G):
+                _streamed_tile_kernel(
+                    clist_ref, counts_ref, origins_ref, pack_ref,
+                    (d0, d1, d2), packed_o, acc_o, pack_buf, sem,
+                    t_idx=pl.program_id(0) * G + j, row=j, chunk=chunk,
+                    pblk=pblk, tiles_per_view=tiles_per_view, ccap=ccap,
+                    n_chunks_total=n_chunks_total,
+                )
 
     packed, acc = pl.pallas_call(
         kernel,

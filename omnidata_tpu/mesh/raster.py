@@ -645,14 +645,7 @@ def render_views_fused(
     dir_planes = (tile_dirs[..., 0], tile_dirs[..., 1], tile_dirs[..., 2])
 
     pack = scene_pack(mesh, (vertex_attrs,) if vertex_attrs is not None else ())
-    pack = jnp.pad(pack, ((0, padF), (0, 0))).T  # (COLS, Fp)
-    v0 = tris[:, 0]
-    e1 = tris[:, 1] - tris[:, 0]
-    e2 = tris[:, 2] - tris[:, 0]
-    pad1 = lambda a: jnp.pad(a, (0, padF))
-    tri_planes = tuple(
-        pad1(p[:, i]) for p in (v0, e1, e2) for i in range(3)
-    )
+    pack = jnp.pad(pack, ((0, padF), (0, 0))).T  # (COLS, Fp; geom rows 0-9)
 
     # per-view per-face screen bboxes, u8-packed lo_tx|hi_tx|lo_by|hi_by
     # per int32: x at TILE granularity (the staging mask test), y at
@@ -697,7 +690,7 @@ def render_views_fused(
             ))
         else:
             outs.append(raster_tiles_pallas_chunklist(
-                cl, cn, og, tri_planes, pack, dp,
+                cl, cn, og, pack, dp,
                 chunk=chunk, interpret=interpret, tiles_per_view=T, ccap=ccap,
             ))
     valid, t, u, v, f, attrs = (
