@@ -454,14 +454,21 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
 def run_pano(model_path: str, settings) -> None:
     """Equirectangular panoramas at each camera location (CREATE_PANOS
     parity: settings.py:38 2048x1024; outputs like the reference's
-    point_XXXX_view_equirectangular_domain_*.png replica assets)."""
+    point_XXXX_view_equirectangular_domain_*.png replica assets).
+
+    Domains: depth_euclidean + depth_zbuffer
+    (create_depth_zbuffer_images.py:26 renders panos too; for an
+    equirectangular camera the z pass IS the ray length), normal,
+    reshading (create_albedo_images.py:28 — point lamp at the pano camera
+    origin), and rgb/semantic when the mesh carries colors/labels."""
     import json
 
     import jax.numpy as jnp
 
     from ..core.rotations import euler_xyz_to_matrix
     from ..cues.encode import encode_depth_16bit, img_as_uint8, save_png
-    from ..mesh.pano import render_pano
+    from ..cues.reshading import reshade
+    from ..mesh.pano import pano_rays, render_pano
     from ..mesh.shade import face_labels as face_labels_fn
     from ..mesh.shade import smooth_normals_world
 
@@ -474,7 +481,7 @@ def run_pano(model_path: str, settings) -> None:
     has_rgb = mesh.vertex_colors is not None or (
         mesh.texture is not None and mesh.vertex_uvs is not None
     )
-    tasks = ("depth_euclidean", "normal")
+    tasks = ("depth_euclidean", "depth_zbuffer", "normal", "reshading")
     tasks += ("rgb",) if has_rgb else ()
     tasks += ("semantic",) if mesh.face_labels is not None else ()
     for t in tasks:
@@ -490,6 +497,9 @@ def run_pano(model_path: str, settings) -> None:
         save_png(fn("depth_euclidean"), np.asarray(
             encode_depth_16bit(frag.t, frag.valid,
                                settings.DEPTH_EUCLIDEAN_MAX_DISTANCE_METERS)))
+        save_png(fn("depth_zbuffer"), np.asarray(
+            encode_depth_16bit(frag.z, frag.valid,
+                               settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS)))
         n_world = smooth_normals_world(frag, mesh)
         # pano normal colors: world-frame remap like the reference's Cycles
         # bump-material path (create_normal_images.py:140-173)
@@ -500,6 +510,10 @@ def run_pano(model_path: str, settings) -> None:
         ], -1)
         col = jnp.where(frag.valid[..., None], jnp.clip(col, 0, 1), 0.5)
         save_png(fn("normal"), np.asarray(img_as_uint8(col)))
+        _, dirs = pano_rays(loc, R_level, W, H)
+        save_png(fn("reshading"), np.asarray(img_as_uint8(reshade(
+            frag.t, n_world, dirs, frag.valid,
+            settings.LAMP_ENERGY, settings.LAMP_HALF_LIFE_DISTANCE))))
         if has_rgb:
             if mesh.texture is not None and mesh.vertex_uvs is not None:
                 rgb = textured_colors(frag, mesh)

@@ -196,23 +196,32 @@ def _chunk_selector(clist_ref, t_idx, count, ccap: int, n_chunks_total: int):
                    584k-face scans (~190 blocks vs 4570 chunks).
     The final id is clamped to the last chunk (the tail block may extend
     past n_chunks_total; a re-swept duplicate chunk cannot improve the
-    strict masked-min fold, so winners are unchanged)."""
+    strict masked-min fold, so winners are unchanged). `fresh_of(i)` is
+    False exactly for those clamped tail duplicates — the compacting
+    kernels use it to avoid re-STAGING the last chunk's faces up to 7
+    extra times (which inflates `staged` and could push a tile near the
+    cap into the slower raw-list fallback); the plain sweeps ignore it."""
     full = count == -1
     block_mode = count < -1
     trip = jnp.where(
         full, n_chunks_total,
         jnp.where(block_mode, (-count - 2) * 8, count))
 
-    def chunk_of(i):
+    def raw_ci(i):
         jl = jnp.where(block_mode, i // 8, i)
         j = jnp.minimum(jl, ccap - 1)
         word = clist_ref[t_idx * ((ccap + 1) // 2) + j // 2]
         ci16 = jnp.where(j % 2 == 0, word & 0xFFFF, (word >> 16) & 0xFFFF)
         ci = jnp.where(block_mode, ci16 * 8 + i % 8, ci16)
-        ci = jnp.where(full, i, ci)
-        return jnp.minimum(ci, n_chunks_total - 1)
+        return jnp.where(full, i, ci)
 
-    return trip, chunk_of
+    def chunk_of(i):
+        return jnp.minimum(raw_ci(i), n_chunks_total - 1)
+
+    def fresh_of(i):
+        return raw_ci(i) < n_chunks_total
+
+    return trip, chunk_of, fresh_of
 
 
 def _decode_winners(packed, acc, origins, dir_planes, tiles_per_view):
@@ -301,8 +310,8 @@ def _chunklist_tile_kernel(clist_ref, counts_ref, origins_ref,
     # clist packs two 16-bit ids per SMEM word (halves the scalar-memory
     # footprint so more views fit per dispatch); see _chunk_selector for the
     # exact-chunk / block-mode / full-scan counts encoding
-    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
-                                     n_chunks_total)
+    trip, chunk_of, _ = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                        n_chunks_total)
 
     view = t_idx // tiles_per_view
     ox = origins_ref[view, 0]
@@ -519,8 +528,8 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
                          stage_cap: int, tile: int):
     t_idx = pl.program_id(0)
     count = counts_ref[t_idx]
-    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
-                                     n_chunks_total)
+    trip, chunk_of, fresh_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                               n_chunks_total)
     COLS = pack_ref.shape[1]
     P = dir_refs[0].shape[2]
     nblocks = P // pblk
@@ -561,6 +570,7 @@ def _compact_tile_kernel(clist_ref, counts_ref, origins_ref, pack_ref,
         ci = chunk_of(i)
         bb = bbox_ref[0, 0, pl.ds(ci * chunk, chunk)][None, :]  # (1,chunk)
         mf, flags = _band_mask_and_flags(bb, tx, ty, tile, pblk, nblocks)
+        mf = mf * fresh_of(i).astype(mf.dtype)  # skip clamped tail dups
         a = pack_ref[0, :, pl.ds(ci * chunk, chunk)]  # (COLS, chunk)
         a = jnp.concatenate([a, flags], axis=0)
         return _stage_window(a, mf, base, s_ref, tri_lower, chunk, nblk)
@@ -594,8 +604,10 @@ def raster_tiles_pallas_compact(
     origin: jax.Array,        # (K,3)
     pack: jax.Array,          # (COLS, Fp) f32 — VMEM-resident (geometry rides
                               # rows 0-9, like the streamed kernel)
-    bbox_words: jax.Array,    # (K, Fp) int32: per-view per-face tile bboxes,
-                              # u8-packed lo_tx|hi_tx|lo_ty|hi_ty
+    bbox_words: jax.Array,    # (K, Fp) int32: per-view per-face bboxes,
+                              # u8-packed lo_tx|hi_tx|lo_by|hi_by (x at tile
+                              # granularity, y at 8-px band granularity —
+                              # see _band_mask_and_flags)
     dir_planes: tuple,        # 3x (K*T, P)
     chunk: int = 128,
     pblk: int = 512,
@@ -700,8 +712,8 @@ def _streamed_tile_kernel(clist_ref, counts_ref, origins_ref, pack_hbm,
                           tiles_per_view: int, ccap: int,
                           n_chunks_total: int):
     count = counts_ref[t_idx]
-    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
-                                     n_chunks_total)
+    trip, chunk_of, _ = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                        n_chunks_total)
     COLS = pack_buf.shape[1]
     P = dir_refs[0].shape[2]
 
@@ -758,8 +770,8 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
     (no DMA). Tiles that stage more than stage_cap faces fall back to the
     plain streamed sweep over the raw chunk list."""
     count = counts_ref[t_idx]
-    trip, chunk_of = _chunk_selector(clist_ref, t_idx, count, ccap,
-                                     n_chunks_total)
+    trip, chunk_of, fresh_of = _chunk_selector(clist_ref, t_idx, count, ccap,
+                                               n_chunks_total)
     COLS = pack_buf.shape[1]
     P = dir_refs[0].shape[2]
     nblocks = P // pblk
@@ -824,6 +836,7 @@ def _streamed_compact_tile_kernel(clist_ref, counts_ref, origins_ref,
         bb = jnp.sum(jnp.where(sel, bbox_buf[buf], 0), axis=0,
                      keepdims=True)  # (1, chunk)
         mf, flags = _band_mask_and_flags(bb, tx, ty, tile, pblk, nblocks)
+        mf = mf * fresh_of(i).astype(mf.dtype)  # skip clamped tail dups
         a = jnp.concatenate([pack_buf[buf], flags], axis=0)
         return _stage_window(a, mf, base, s_ref, tri_lower, chunk, nblk)
 

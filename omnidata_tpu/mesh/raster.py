@@ -474,7 +474,10 @@ def admission_lists(overlap, true_counts, ccap: int, hier: bool,
     bkeys = jnp.where(ovb_any, 2 * ncb - bi, -bi)
     bvals, bidx = jax.lax.top_k(bkeys, bcap)  # ascending block ids first
     blist = jnp.where(bvals > ncb, bidx, ncb)  # pad -> zero-bit sentinel
-    bcap2 = min(bcap, expand_bcap or EXPAND_BCAP)
+    if expand_bcap is None:
+        expand_bcap = EXPAND_BCAP
+    assert expand_bcap >= 1, expand_bcap
+    bcap2 = min(bcap, expand_bcap)
     cand = (blist[:, :bcap2, None] * ab
             + jnp.arange(ab, dtype=jnp.int32)).reshape(rows, bcap2 * ab)
     ov2p = jnp.pad(overlap, ((0, 0), (0, (ncb + 1) * ab - n_chunks)))

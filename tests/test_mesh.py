@@ -772,12 +772,29 @@ def test_block_mode_overflow_matches_scan_all():
     cams = Camera(locs, Rs, jnp.asarray([1.2, 1.0]), 64)
     attrs = mesh.vertex_normals
 
-    # sanity: ccap=4 actually produces block-mode rows on this scene
+    # sanity: ccap=4 actually produces block-mode rows on this scene —
+    # replicate the pipeline's per-chunk tile-overlap test and assert the
+    # admission actually emits counts <= -2 (otherwise the e2e comparison
+    # below silently exercises only exact/scan-all paths)
     from omnidata_tpu.mesh import raster as raster_mod
     tris = mesh.vertices[mesh.faces]
     lo, hi, _ = raster_mod.face_screen_bboxes(
         Camera(locs[0], Rs[0], jnp.asarray(1.2), 64), mesh, tris_w=tris)
-    n_chunks = -(-mesh.faces.shape[0] // 64)
+    chunk, tile, res = 64, 32, 64
+    n1d = res // tile
+    n_chunks = -(-mesh.faces.shape[0] // chunk)
+    padF = n_chunks * chunk - mesh.faces.shape[0]
+    lo_p = jnp.pad(lo, ((0, padF), (0, 0)), constant_values=1e9)
+    hi_p = jnp.pad(hi, ((0, padF), (0, 0)), constant_values=-1e9)
+    txs = jnp.arange(n1d) * tile
+    ov_x = (hi_p[:, 0:1] >= txs[None]) & (lo_p[:, 0:1] <= txs[None] + tile)
+    ov_y = (hi_p[:, 1:2] >= txs[None]) & (lo_p[:, 1:2] <= txs[None] + tile)
+    ov = (ov_y.reshape(n_chunks, chunk, n1d, 1)
+          & ov_x.reshape(n_chunks, chunk, 1, n1d)).any(1)  # (NC, Ty, Tx)
+    overlap = ov.reshape(n_chunks, n1d * n1d).T  # (T, NC)
+    _, counts = raster_mod.admission_lists(
+        overlap, overlap.sum(-1), ccap=4, hier=True)
+    assert (np.asarray(counts) <= -2).any(), np.asarray(counts)
 
     kwargs = dict(tile=32, chunk=64, interpret=True, vertex_attrs=attrs,
                   ccap=4)
