@@ -283,29 +283,41 @@ def main():
 
     # accumulate a data-dependent scalar per batch so the final host fetch
     # provably waits for every view's full computation
-    _note("timing small-scene batches")
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.int32)
-    for bi in range(n_batches):
-        if on_tpu:
-            out = annotate_views(batches[bi], mesh, curv, **kw)
-            acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
-        else:
-            from omnidata_tpu.core import Camera
-            for i in range(K + bi * K, K + (bi + 1) * K):
-                cam = Camera(jnp.asarray(cams_np[0][i]), jnp.asarray(cams_np[1][i]),
-                             jnp.asarray(cams_np[2][i]), res)
-                out = annotate_view(cam, mesh, curv, use_pallas=False, **kw)
+    def _timed_rep() -> float:
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for bi in range(n_batches):
+            if on_tpu:
+                out = annotate_views(batches[bi], mesh, curv, **kw)
                 acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
-    _ = int(acc)  # host fetch: upper bound on all device work
-    dt = time.perf_counter() - t0
-    vps = n_views / dt
+            else:
+                from omnidata_tpu.core import Camera
+                for i in range(K + bi * K, K + (bi + 1) * K):
+                    cam = Camera(jnp.asarray(cams_np[0][i]),
+                                 jnp.asarray(cams_np[1][i]),
+                                 jnp.asarray(cams_np[2][i]), res)
+                    out = annotate_view(cam, mesh, curv, use_pallas=False, **kw)
+                    acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
+        _ = int(acc)  # host fetch: upper bound on all device work
+        return n_views / (time.perf_counter() - t0)
+
+    # >= 3 repetitions in the same session: the tunnel has documented ~2x
+    # run-to-run variance, so a single sample makes round-over-round deltas
+    # uninterpretable (VERDICT r4 Weak #5). value = median of the reps;
+    # min/max + the kernel config ride along in the JSON.
+    _note("timing small-scene batches (3 reps)")
+    reps = [_timed_rep() for _ in range(3 if on_tpu else 1)]
+    vps = float(np.median(reps))
 
     result = {
         "metric": f"annotated viewpoints/sec (10 device modalities @512^2, {n_faces} tris, {backend})",
         "value": round(vps, 3),
         "unit": "viewpoints/s",
         "vs_baseline": round(vps / BASELINE_VIEWPOINTS_PER_SEC, 1),
+        "value_min": round(min(reps), 3),
+        "value_max": round(max(reps), 3),
+        "config": {"K": K, "tile": tile, "chunk": chunk,
+                   "n_batches": n_batches, "reps": len(reps)},
     }
     # Flush the headline the moment it exists: if a later extra blows the
     # driver's wall clock, this line is already on stdout.
@@ -320,6 +332,8 @@ def main():
             ("full13", lambda: bench_full13(mesh, curv, batches[0],
                                             cams_np, K, res, kw), 240.0),
             ("dpt", bench_dpt_inference, 300.0),
+            ("xl_scene", lambda: bench_large_scene(
+                build=build_xl_scene, prefix="xl"), 420.0),
         ]
         if os.environ.get("BENCH_TRAIN"):  # opt-in: one more slow compile
             extras.append(("train", bench_train_step, 600.0))
@@ -345,20 +359,24 @@ def main():
         print(json.dumps(result), flush=True)
 
 
-def bench_large_scene(n_batches: int = 2):
+def bench_large_scene(n_batches: int = 2, build=None, prefix: str = "large"):
     """Replica-scale throughput via the HBM-streamed kernel (the small
     scene's VMEM-resident kernel cannot hold a 584k-face pack). K=32: the
     SMEM chunk lists cap the KERNEL at 8 views, but render_views_fused
     sub-batches that internally, so admission/decode/cues batch 32-wide —
     measured 29 vps at K=8 vs 65 vps at K=32 (per-dispatch fixed work and
-    small-grid underutilization amortize)."""
+    small-grid underutilization amortize).
+
+    prefix='xl' runs the same program shape on the >=1M-tri scene — real
+    Replica scans are 1-6M faces, so the 584k point alone undershoots the
+    north-star workload (VERDICT r4 #2)."""
     import jax
     import jax.numpy as jnp
 
     from omnidata_tpu.annotator import annotate_views
 
-    _note("building large scene")
-    mesh, curv = build_large_scene()
+    _note(f"building {prefix} scene")
+    mesh, curv = (build or build_large_scene)()
     K, tile, ccap, res = 32, 32, 192, 512
     cams_np = sample_cameras_np(K * (n_batches + 1), seed=3)
     batches = [
@@ -369,17 +387,44 @@ def bench_large_scene(n_batches: int = 2):
     _note("compiling large-scene streamed program")
     out = annotate_views(batches[0], mesh, curv, **kw)  # compile + warm
     float(jnp.sum(out["depth_zbuffer"].astype(jnp.int32)))
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.int32)
-    for b in batches[1:]:
-        out = annotate_views(b, mesh, curv, **kw)
-        acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
-    _ = int(acc)
-    dt = time.perf_counter() - t0
+
+    def rep() -> float:
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.int32)
+        for b in batches[1:]:
+            out = annotate_views(b, mesh, curv, **kw)
+            acc = acc + jnp.sum(out["depth_zbuffer"].astype(jnp.int32))
+        _ = int(acc)
+        return n_batches * K / (time.perf_counter() - t0)
+
+    reps = [rep() for _ in range(3)]
     return {
-        "large_scene_tris": int(mesh.num_faces),
-        "large_scene_vps": round(n_batches * K / dt, 2),
+        f"{prefix}_scene_tris": int(mesh.num_faces),
+        f"{prefix}_scene_vps": round(float(np.median(reps)), 2),
+        f"{prefix}_scene_vps_min": round(min(reps), 2),
+        f"{prefix}_scene_vps_max": round(max(reps), 2),
     }
+
+
+def build_xl_scene(seed: int = 0):
+    """>=1M-triangle scene, matching real Replica scan sizes (1-6M faces)."""
+    from omnidata_tpu.mesh import cube, room, uv_sphere
+
+    def arrays():
+        rng = np.random.RandomState(seed)
+        parts = [room(size=10.0, height=3.2)]
+        for _ in range(10):
+            c = (rng.uniform(-3.5, 3.5), rng.uniform(-3.5, 3.5),
+                 rng.uniform(0.4, 1.2))
+            parts.append(uv_sphere(radius=rng.uniform(0.25, 0.6), center=c,
+                                   n_lat=128, n_lon=256))
+        for _ in range(12):
+            c = (rng.uniform(-4.0, 4.0), rng.uniform(-4.0, 4.0),
+                 rng.uniform(0.3, 1.0))
+            parts.append(cube(size=rng.uniform(0.4, 1.2), center=c))
+        return _assemble(parts, rng, edge=0.055)
+
+    return _cached_scene(f"xl_{seed}", arrays)
 
 
 def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):

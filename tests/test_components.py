@@ -345,3 +345,44 @@ def test_nyu_depth_eval_cli(tmp_path):
     out = _json.loads(buf.getvalue())
     assert any("log10" in k for k in out) and any("rel" in k for k in out)
     assert all(np.isfinite(v) for v in out.values())
+
+
+@pytest.mark.slow
+def test_nyu_normal_eval_cli(tmp_path):
+    """eval_normal.py --nyu_root (+ --tta) runs the external normal protocol
+    end-to-end on format-exact synthetic fixtures (VERDICT r4 #8: the NYU
+    normal CLI path had never parsed data of the documented layout)."""
+    import contextlib
+    import io
+    import json as _json
+
+    import h5py
+    from PIL import Image
+
+    import eval_normal
+
+    H, W = 48, 64
+    rng = np.random.RandomState(0)
+    (tmp_path / "normals_gt" / "normals").mkdir(parents=True)
+    (tmp_path / "normals_gt" / "masks").mkdir(parents=True)
+    for i in range(2):
+        with h5py.File(tmp_path / f"{i:04}.h5", "w") as f:
+            f["rgb"] = (rng.rand(3, H, W) * 255).astype(np.uint8)
+        n = np.zeros((H, W, 3), np.uint8)
+        n[..., 2] = 255
+        Image.fromarray(n).save(
+            tmp_path / "normals_gt" / "normals" / f"{i:04}.png")
+        mask = np.zeros((H, W), np.uint8)
+        mask[8:40, 8:56] = 255
+        Image.fromarray(mask).save(
+            tmp_path / "normals_gt" / "masks" / f"{i:04}.png")
+
+    for extra in ([], ["--tta"]):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_normal.main(["--nyu_root", str(tmp_path),
+                              "--model", "unet", "--image_size", "64",
+                              *extra])
+        out = _json.loads(buf.getvalue())
+        assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
+        assert 0 <= out["MAE"] <= 180 and np.isfinite(out["MAE"])
