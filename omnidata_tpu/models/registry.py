@@ -32,6 +32,24 @@ def _load_torch(path: str) -> dict:
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def _load_checkpoint_variables(path: str, convert) -> dict:
+    """checkpoint= accepts either a torch .ckpt/.pth (run through the weight
+    converter, the reference's pretrained path) or an Orbax checkpoint
+    DIRECTORY saved by train.checkpoints.CheckpointManager (full train-state
+    tree or bare variables) — so eval/demo CLIs can consume checkpoints
+    trained by this framework, not only converted torch ones."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        if isinstance(tree, dict) and "opt_state" in tree:  # full train state
+            tree = tree["params"]
+        return jax.tree.map(jnp.asarray, tree)
+    return jax.tree.map(jnp.asarray, convert(_load_torch(path)))
+
+
 def _nchw_to_nhwc(x):
     return jnp.transpose(x, (0, 2, 3, 1))
 
@@ -65,8 +83,7 @@ def dpt_hybrid_384(
     outputs are still float32-accumulated by the MXU)."""
     module = DPTHybrid(num_channels=num_channels)
     if checkpoint:
-        variables = convert_dpt(_load_torch(checkpoint))
-        variables = jax.tree.map(jnp.asarray, variables)
+        variables = _load_checkpoint_variables(checkpoint, convert_dpt)
     else:
         variables = module.init(
             jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
@@ -99,8 +116,7 @@ def surface_normal_unet(checkpoint: str | None = None, image_size: int = 512) ->
     """The v1 UNet normal model (demo.py's commented v1 path, train_normal.py)."""
     module = UNet(out_channels=3)
     if checkpoint:
-        variables = convert_unet(_load_torch(checkpoint))
-        variables = jax.tree.map(jnp.asarray, variables)
+        variables = _load_checkpoint_variables(checkpoint, convert_unet)
     else:
         variables = module.init(
             jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))

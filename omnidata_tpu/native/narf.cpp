@@ -37,7 +37,10 @@
 // Build:  g++ -O3 -shared -fPIC -o libnarf.so narf.cpp
 // ABI  :  narf_interest_image(depth, H, W, fx, fy, cx, cy,
 //                             support_size, max_range, out)
+#include <chrono>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <vector>
@@ -606,6 +609,16 @@ extern "C" {
 void narf_interest_image(const float* depth, int H, int W, float fx, float fy,
                          float cx, float cy, float support_size,
                          float max_range, float* out) {
+  // NARF_PROFILE=1: per-stage wall times on stderr (perf work only)
+  const bool prof = std::getenv("NARF_PROFILE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[narf] %-16s %.1f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - tick).count());
+    tick = now;
+  };
   // 1+2. range image pyramid
   std::vector<RangeLevel> levels(1);
   build_level0(depth, H, W, fx, fy, cx, cy, max_range, levels[0]);
@@ -616,9 +629,11 @@ void narf_interest_image(const float* depth, int H, int W, float fx, float fy,
     levels.emplace_back();
     build_half(levels[levels.size() - 2], levels.back());
   }
+  lap("pyramid");
 
   // 3. border extraction per scale
   for (RangeLevel& L : levels) extract_borders(L);
+  lap("borders");
 
   // start_usage_ranges (pcl_narf.hpp:241-249)
   int S = static_cast<int>(levels.size());
@@ -636,6 +651,11 @@ void narf_interest_image(const float* depth, int H, int W, float fx, float fy,
     const float* ci = (s + 1 < S) ? interest[s + 1].data() : nullptr;
     interest_level(levels[s], support_size, coarser, ci, start_usage[s],
                    interest[s].data());
+    if (prof) {
+      char buf[32];
+      std::snprintf(buf, sizeof buf, "interest L%d", s);
+      lap(buf);
+    }
   }
 
   for (int i = 0; i < H * W; ++i)
