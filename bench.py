@@ -34,6 +34,7 @@ Prints JSON lines: {"metric", "value", "unit", "vs_baseline"[, "extra"]}.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -442,6 +443,7 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
     import jax.numpy as jnp
 
     from omnidata_tpu.annotator import annotate_views
+    from omnidata_tpu.cues import narf_device as nd
 
     fovs = [float(cams_np[2][i]) for i in range(K)]
 
@@ -452,14 +454,27 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
     pool = _make_host_cue_pool()
 
     needed = ("depth_zbuffer", "rgb", "normal", "edge_occlusion")
+    n_lvl = nd.max_levels_for(res, res)
     t0 = time.perf_counter()
     futures = []
     with pool:
         out = annotate_views(batch0, mesh, curv, **kw)
-        out_np = jax.device_get({t: out[t] for t in needed})
+        # NARF border prefix on the same device dispatch (the convolution-
+        # shaped 74% of keypoints3d's host cost; cues/narf_device.py) —
+        # only the region-growing interest stage rides the host pool
+        depth_m = out["depth_zbuffer"].astype(jnp.float32) * (128.0 / 65535.0)
+        focal_dev = res / (2.0 * jnp.tan(jnp.asarray(cams_np[2][:K]) / 2.0))
+        bmaps = nd.narf_border_maps(depth_m, focal_dev, n_lvl, 128.0)
+        out_np, bmaps_np = jax.device_get(
+            ({t: out[t] for t in needed}, bmaps))
         for vi in range(K):
+            f_px = res / (2.0 * math.tan(fovs[vi] / 2.0))
+            S = min(n_lvl, nd.n_levels_for(f_px, res, res))
+            vmaps = [(lvl[0][vi], lvl[1][vi], lvl[2][vi])
+                     for lvl in bmaps_np[:S]]
             futures.append(pool.submit(
-                _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi], res))
+                _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi],
+                res, vmaps))
         for f in futures:
             f.result()
     dt = time.perf_counter() - t0
@@ -467,14 +482,15 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
             "full13_host_cpus": os.cpu_count() or 1}
 
 
-def _host_cues(arrs, fov, res):
+def _host_cues(arrs, fov, res, border_maps=None):
     """The 3 host-side cues for one view (module-level: picklable for the
     full13 process pool)."""
     from omnidata_tpu.cues.keypoints3d import keypoints3d_from_depth_code
     from omnidata_tpu.cues.segmentation import segment_2d, segment_25d
 
     keypoints3d_from_depth_code(
-        arrs["depth_zbuffer"], fov, res, support_size=0.3, max_meters=128.0
+        arrs["depth_zbuffer"], fov, res, support_size=0.3, max_meters=128.0,
+        border_maps=border_maps,
     )
     segment_2d(arrs["rgb"], scale=500.0, blur=3.0, cut_thresh=0.005,
                self_edge_weight=2.0)

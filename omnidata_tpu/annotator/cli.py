@@ -347,9 +347,11 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
     host_kv = _host_cue_settings_kv(settings) if host_tasks else None
     pending: list = []
 
-    def write_outputs(view, arrs):
+    def write_outputs(view, arrs, border_maps=None):
         """arrs: {modality: np array} for one view (already on host). Keys
-        can be a subset of mods (e.g. no 'semantic' without face labels)."""
+        can be a subset of mods (e.g. no 'semantic' without face labels).
+        border_maps: this view's device-computed NARF border maps (TPU
+        batch path) — keypoints3d then runs only its host interest stage."""
         for t in arrs:
             if t == "fragments":
                 path = file_name_for(
@@ -368,7 +370,7 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                       for t in _HOST_CUE_INPUTS if t in arrs}
             pending.append(host_pool.submit(
                 _host_cue_job, model_path, view, tuple(host_tasks), host_kv,
-                cue_in,
+                cue_in, border_maps,
             ))
 
     import jax
@@ -392,13 +394,38 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                       f"(SMEM bound at {T_view} tiles/view)")
                 K = k_max
 
-            def process(chunk_views, out):
+            # device NARF border prefix: the convolution-shaped 74% of the
+            # keypoints3d host cost rides the same dispatch as the render
+            # (cues/narf_device.py); only the region-growing interest stage
+            # stays in the host pool
+            dev_narf = ("keypoints3d" in host_tasks
+                        and "depth_zbuffer" in mods)
+            if dev_narf:
+                import math as _math
+
+                from ..cues import narf_device as _nd
+
+                res = settings.RESOLUTION
+                maxm = float(settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS)
+                n_lvl = _nd.max_levels_for(res, res)
+
+            def process(chunk_views, out, bmaps):
                 nonlocal i
                 # ONE host fetch per batch (per-view np.asarray slices would
                 # each pay a device round-trip), then fan out IO + host cues
-                out_np = jax.device_get({t: out[t] for t in mods if t in out})
+                out_np, bmaps_np = jax.device_get(
+                    ({t: out[t] for t in mods if t in out}, bmaps))
                 for vi, view in enumerate(chunk_views):
-                    write_outputs(view, {t: a[vi] for t, a in out_np.items()})
+                    vmaps = None
+                    if bmaps_np is not None:
+                        f_px = res / (2.0 * _math.tan(
+                            view["field_of_view_rads"] / 2.0))
+                        S = min(len(bmaps_np),
+                                _nd.n_levels_for(f_px, res, res))
+                        vmaps = [(lvl[0][vi], lvl[1][vi], lvl[2][vi])
+                                 for lvl in bmaps_np[:S]]
+                    write_outputs(view,
+                                  {t: a[vi] for t, a in out_np.items()}, vmaps)
                     i += 1
                     pflr.step(f"finished img {i}/{n_imgs}")
 
@@ -418,9 +445,16 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                     settings.RESOLUTION,
                 )
                 out = annotate_views(batch, mesh, curv, **kw)
+                bmaps = None
+                if dev_narf:
+                    depth_m = out["depth_zbuffer"].astype(jnp.float32) * (
+                        maxm / 65535.0)
+                    focal = res / (2.0 * jnp.tan(batch.fov / 2.0))
+                    bmaps = _nd.narf_border_maps(
+                        depth_m, focal, n_lvl, maxm)
                 if prev is not None:
                     process(*prev)
-                prev = (chunk_views, out)
+                prev = (chunk_views, out, bmaps)
             if prev is not None:
                 process(*prev)
         else:
@@ -580,12 +614,14 @@ def _make_host_cue_pool():
     return ThreadPoolExecutor(max_workers=2)
 
 
-def _host_cue_job(model_path, view, tasks, settings_kv, arrs) -> None:
+def _host_cue_job(model_path, view, tasks, settings_kv, arrs,
+                  border_maps=None) -> None:
     """Process-pool entry: host cues for one view from in-memory arrays."""
     from types import SimpleNamespace
 
     host_cues_for_view(model_path, view, tasks,
-                       SimpleNamespace(**settings_kv), arrs.__getitem__)
+                       SimpleNamespace(**settings_kv), arrs.__getitem__,
+                       border_maps=border_maps)
 
 
 def _host_cue_disk_job(model_path, view, tasks, settings_kv) -> None:
@@ -606,12 +642,15 @@ def _host_cue_disk_job(model_path, view, tasks, settings_kv) -> None:
     host_cues_for_view(model_path, view, tasks, s, get)
 
 
-def host_cues_for_view(model_path: str, view: dict, tasks, settings, get) -> None:
+def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
+                       border_maps=None) -> None:
     """Compute + write the per-view host cues (keypoints3d / segment_2d /
     segment_25d). `get(task)` returns the task's decoded image array — from
     disk (standalone host pass) or from the in-flight device batch (overlap
     path; reference counterpart: create_images_nonblender_utils.py:39-67
-    process_view workers)."""
+    process_view workers). border_maps: optional device-computed NARF
+    border maps for this view (narf_device.py) — keypoints3d then runs
+    only its region-growing interest stage on the host."""
     from ..cues.encode import save_png
     from ..sampling import file_name_for
 
@@ -626,6 +665,7 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get) -> Non
             get("depth_zbuffer"), view["field_of_view_rads"],
             settings.RESOLUTION, support_size=settings.KEYPOINT_SUPPORT_SIZE,
             max_meters=settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS,
+            border_maps=border_maps,
         )
         save_png(out_path("keypoints3d"), out)
     if "segment_unsup2d" in tasks:

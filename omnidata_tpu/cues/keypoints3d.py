@@ -74,6 +74,14 @@ def _build_and_load():
         ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
     lib.narf_interest_image.restype = None
+    lib.narf_interest_image_from_maps.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ushort), ctypes.POINTER(ctypes.c_byte),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.narf_interest_image_from_maps.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -103,6 +111,54 @@ def narf_interest_image(
             )
             return out
     return _narf_numpy(depth_m, focal_px, support_size, max_range)
+
+
+def narf_interest_with_maps(
+    depth_m: np.ndarray,
+    focal_px: float,
+    border_maps,
+    support_size: float = 0.3,
+    max_range: float = 128.0,
+) -> np.ndarray:
+    """Split-pipeline NARF: the convolution-shaped border prefix (74% of
+    the host cost, measured) was computed on the TPU (narf_device.py —
+    per-level quantized (change u16, cdir i8, shadow u8) tuples); only the
+    data-dependent region-growing interest stage runs here. Falls back to
+    the full native path on level-count mismatch (wrong focal/resolution
+    pairing) or when the native library is unavailable."""
+    depth_m = np.ascontiguousarray(depth_m, np.float32)
+    H, W = depth_m.shape
+    try:
+        lib = _build_and_load()
+    except Exception:
+        return _narf_numpy(depth_m, focal_px, support_size, max_range)
+    ch = np.ascontiguousarray(
+        np.concatenate([np.asarray(m[0], np.uint16).ravel()
+                        for m in border_maps]))
+    cd = np.ascontiguousarray(
+        np.concatenate([np.asarray(m[1], np.int8).reshape(-1, 3)
+                        for m in border_maps]).ravel())
+    sh = np.ascontiguousarray(
+        np.concatenate([np.asarray(m[2], np.uint8).ravel()
+                        for m in border_maps]))
+    out = np.empty((H, W), np.float32)
+    rc = lib.narf_interest_image_from_maps(
+        depth_m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H, W, float(focal_px), float(focal_px), W / 2.0, H / 2.0,
+        float(support_size), float(max_range), len(border_maps),
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        cd.ctypes.data_as(ctypes.POINTER(ctypes.c_byte)),
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:  # pyramid mismatch: recompute fully natively
+        lib.narf_interest_image(
+            depth_m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            H, W, float(focal_px), float(focal_px), W / 2.0, H / 2.0,
+            float(support_size), float(max_range),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    return out
 
 
 _MIN_CHANGE = 0.2
@@ -446,12 +502,22 @@ def keypoints3d_from_depth_code(
     support_size: float = 0.3,
     max_meters: float = 128.0,
     backend: str = "native",
+    border_maps=None,
 ) -> np.ndarray:
     """The reference driver's contract (create_keypoints_3d_images.py:53-113):
-    16-bit depth codes -> interest -> uint16 (x 2^16, clipped)."""
+    16-bit depth codes -> interest -> uint16 (x 2^16, clipped).
+
+    border_maps: optional per-level device-computed border maps
+    (narf_device.border_maps_for_views) — runs only the host interest
+    stage (narf_interest_with_maps)."""
     depth_m = depth_code_u16.astype(np.float32) * (max_meters / 65535.0)
     import math
 
     focal = resolution / (2.0 * math.tan(fov_rads / 2.0))
-    interest = narf_interest_image(depth_m, focal, support_size, max_meters, backend)
+    if border_maps is not None:
+        interest = narf_interest_with_maps(
+            depth_m, focal, border_maps, support_size, max_meters)
+    else:
+        interest = narf_interest_image(
+            depth_m, focal, support_size, max_meters, backend)
     return np.clip(interest * 65536.0, 0, 65535).astype(np.uint16)

@@ -600,6 +600,51 @@ void interest_level(const RangeLevel& L, float support_size,
   }
 }
 
+// Stages 4+5 (start_usage ranges, per-scale interest, coarse-to-fine
+// combination, clip) given fully-populated levels.
+void run_interest(std::vector<RangeLevel>& levels, float support_size,
+                  float* out, bool prof = false) {
+  auto tick = std::chrono::steady_clock::now();
+  int S = static_cast<int>(levels.size());
+  std::vector<float> start_usage(S, 0.0f);
+  for (int s = S - 2; s >= 0; --s) {
+    start_usage[s] = support_size /
+        std::tan(static_cast<float>(kOptimalPatchSize) * levels[s + 1].ar);
+  }
+  std::vector<std::vector<float>> interest(S);
+  for (int s = S - 1; s >= 0; --s) {
+    interest[s].resize(levels[s].W * levels[s].H);
+    const RangeLevel* coarser = (s + 1 < S) ? &levels[s + 1] : nullptr;
+    const float* ci = (s + 1 < S) ? interest[s + 1].data() : nullptr;
+    interest_level(levels[s], support_size, coarser, ci, start_usage[s],
+                   interest[s].data());
+    if (prof) {
+      auto now = std::chrono::steady_clock::now();
+      std::fprintf(stderr, "[narf] interest L%d      %.1f ms\n", s,
+                   std::chrono::duration<double, std::milli>(now - tick)
+                       .count());
+      tick = now;
+    }
+  }
+  int N = levels[0].W * levels[0].H;
+  for (int i = 0; i < N; ++i)
+    out[i] = std::max(0.0f, std::min(1.0f, interest[0][i]));
+}
+
+void build_pyramid(const float* depth, int H, int W, float fx, float fy,
+                   float cx, float cy, float max_range,
+                   std::vector<RangeLevel>& levels) {
+  levels.resize(1);
+  build_level0(depth, H, W, fx, fy, cx, cy, max_range, levels[0]);
+  const float deg2 = 2.0f * static_cast<float>(M_PI) / 180.0f;
+  while (0.5f * levels.back().ar < deg2 && levels.back().W >= 16 &&
+         levels.back().H >= 16 &&
+         static_cast<int>(levels.size()) < g_tun.max_levels) {
+    levels.emplace_back();
+    build_half(levels[levels.size() - 2], levels.back());
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -620,46 +665,54 @@ void narf_interest_image(const float* depth, int H, int W, float fx, float fy,
     tick = now;
   };
   // 1+2. range image pyramid
-  std::vector<RangeLevel> levels(1);
-  build_level0(depth, H, W, fx, fy, cx, cy, max_range, levels[0]);
-  const float deg2 = 2.0f * static_cast<float>(M_PI) / 180.0f;
-  while (0.5f * levels.back().ar < deg2 && levels.back().W >= 16 &&
-         levels.back().H >= 16 &&
-         static_cast<int>(levels.size()) < g_tun.max_levels) {
-    levels.emplace_back();
-    build_half(levels[levels.size() - 2], levels.back());
-  }
+  std::vector<RangeLevel> levels;
+  build_pyramid(depth, H, W, fx, fy, cx, cy, max_range, levels);
   lap("pyramid");
 
   // 3. border extraction per scale
   for (RangeLevel& L : levels) extract_borders(L);
   lap("borders");
 
-  // start_usage_ranges (pcl_narf.hpp:241-249)
-  int S = static_cast<int>(levels.size());
-  std::vector<float> start_usage(S, 0.0f);
-  for (int s = S - 2; s >= 0; --s) {
-    start_usage[s] = support_size /
-        std::tan(static_cast<float>(kOptimalPatchSize) * levels[s + 1].ar);
-  }
-
   // 4+5. interest images, coarse to fine
-  std::vector<std::vector<float>> interest(S);
-  for (int s = S - 1; s >= 0; --s) {
-    interest[s].resize(levels[s].W * levels[s].H);
-    const RangeLevel* coarser = (s + 1 < S) ? &levels[s + 1] : nullptr;
-    const float* ci = (s + 1 < S) ? interest[s + 1].data() : nullptr;
-    interest_level(levels[s], support_size, coarser, ci, start_usage[s],
-                   interest[s].data());
-    if (prof) {
-      char buf[32];
-      std::snprintf(buf, sizeof buf, "interest L%d", s);
-      lap(buf);
-    }
-  }
+  run_interest(levels, support_size, out, prof);
+}
 
-  for (int i = 0; i < H * W; ++i)
-    out[i] = std::max(0.0f, std::min(1.0f, interest[0][i]));
+// Split-pipeline entry: border maps (change score / change direction /
+// shadow flags) computed OFF-host — on the TPU by cues/narf_device.py, the
+// convolution-shaped 74% of the operator — with only the data-dependent
+// region-growing interest stage (stages 4+5) left here. Maps arrive
+// transfer-quantized (u16 score, i8 direction, u8 shadow), concatenated
+// level-major in this file's own pyramid order.
+//
+// Returns 0 on success, or the expected level count when n_levels does not
+// match this pyramid's depth (caller should fall back to the full path).
+int narf_interest_image_from_maps(
+    const float* depth, int H, int W, float fx, float fy, float cx, float cy,
+    float support_size, float max_range, int n_levels,
+    const unsigned short* change_q, const signed char* cdir_q,
+    const unsigned char* shadow_q, float* out) {
+  std::vector<RangeLevel> levels;
+  build_pyramid(depth, H, W, fx, fy, cx, cy, max_range, levels);
+  if (static_cast<int>(levels.size()) != n_levels)
+    return static_cast<int>(levels.size());
+  size_t off = 0;
+  for (RangeLevel& L : levels) {
+    const size_t N = static_cast<size_t>(L.W) * L.H;
+    L.change.resize(N);
+    L.change_dir.resize(N);
+    L.shadow.resize(N);
+    for (size_t i = 0; i < N; ++i) {
+      L.change[i] = change_q[off + i] * (1.0f / 65535.0f);
+      L.change_dir[i] = {cdir_q[3 * (off + i)] * (1.0f / 127.0f),
+                         cdir_q[3 * (off + i) + 1] * (1.0f / 127.0f),
+                         cdir_q[3 * (off + i) + 2] * (1.0f / 127.0f)};
+      L.shadow[i] = shadow_q[off + i];
+    }
+    off += N;
+  }
+  run_interest(levels, support_size, out,
+               std::getenv("NARF_PROFILE") != nullptr);
+  return 0;
 }
 
 // Calibration knobs (see Tunables); pass a negative value to keep a field.

@@ -401,3 +401,58 @@ def test_felzenszwalb_native_matches_python():
         except Exception:
             pytest.skip("no native toolchain")
         np.testing.assert_array_equal(a, b)
+
+
+def test_narf_device_borders_match_numpy_twin():
+    """Device border prefix (narf_device.py, the jitted TPU half of the
+    split keypoints3d pipeline) vs the validated numpy twin, level by
+    level. Eigensolvers differ (closed-form vs eigh) and the device
+    quantizes for transfer, so: tight change tolerance, exact shadows,
+    direction alignment up to the sign ambiguity."""
+    from omnidata_tpu.cues import keypoints3d as kp
+    from omnidata_tpu.cues import narf_device as nd
+
+    H = W = 48
+    depth = np.full((H, W), 3.0, np.float32)
+    depth[20:, 24:] = 1.5
+    depth[5:15, 5:15] = 2.2
+    focal = 40.0
+
+    levels = [kp._level0(depth, focal, W / 2.0, H / 2.0, 128.0)]
+    while 0.5 * levels[-1].ar < np.deg2rad(2.0) and min(
+        levels[-1].W, levels[-1].H
+    ) >= 16:
+        levels.append(kp._half(levels[-1]))
+    maps = nd.border_maps_for_views(depth[None], np.array([focal]), 128.0)[0]
+    assert len(maps) == len(levels) == nd.n_levels_for(focal, H, W)
+    for li, L in enumerate(levels):
+        ch_t, cd_t, sh_t, _ = kp._extract_borders(L)
+        ch_d = maps[li][0].astype(np.float32) / 65535.0
+        cd_d = maps[li][1].astype(np.float32) / 127.0
+        np.testing.assert_allclose(ch_d, ch_t, atol=2e-3)
+        np.testing.assert_array_equal(maps[li][2] > 0, sh_t)
+        strong = (np.linalg.norm(cd_t, axis=-1) > 0.5) & (ch_t > 0.05)
+        if strong.any():
+            dots = np.abs(np.sum(cd_t * cd_d, -1))[strong]
+            assert np.percentile(dots, 5) > 0.95, np.percentile(dots, 5)
+
+
+def test_keypoints3d_hybrid_matches_native():
+    """Split pipeline (device borders + host interest) vs the full native
+    path — the same tolerance contract as native-vs-numpy."""
+    from omnidata_tpu.cues import narf_device as nd
+    from omnidata_tpu.cues.keypoints3d import (
+        narf_interest_image,
+        narf_interest_with_maps,
+    )
+
+    H = W = 48
+    depth = np.full((H, W), 3.0, np.float32)
+    depth[20:, 24:] = 1.5
+    native = narf_interest_image(depth, focal_px=40.0, support_size=0.5,
+                                 backend="native")
+    maps = nd.border_maps_for_views(depth[None], np.array([40.0]), 128.0)[0]
+    hybrid = narf_interest_with_maps(depth, 40.0, maps, support_size=0.5)
+    assert hybrid.shape == (H, W) and hybrid.max() > 0.05
+    np.testing.assert_allclose(hybrid, native, atol=0.2)
+    assert np.corrcoef(hybrid.ravel(), native.ravel())[0, 1] > 0.8
