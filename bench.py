@@ -331,7 +331,9 @@ def main():
         extras = [
             ("large_scene", bench_large_scene, 420.0),
             ("full13", lambda: bench_full13(mesh, curv, batches[0],
-                                            cams_np, K, res, kw), 240.0),
+                                            cams_np, K, res, kw,
+                                            device_vps=result["value"]),
+             240.0),
             ("dpt", bench_dpt_inference, 300.0),
             ("xl_scene", lambda: bench_large_scene(
                 build=build_xl_scene, prefix="xl"), 420.0),
@@ -428,7 +430,7 @@ def build_xl_scene(seed: int = 0):
     return _cached_scene(f"xl_{seed}", arrays)
 
 
-def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
+def bench_full13(mesh, curv, batch0, cams_np, K, res, kw, device_vps=None):
     """Full 13-modality rate: the 10 device modalities + the 3 host cues
     (keypoints3d / segment_unsup2d / segment_unsup25d) computed on a worker
     pool from the in-flight device outputs — the same overlap the CLI's
@@ -475,27 +477,44 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw):
             futures.append(pool.submit(
                 _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi],
                 res, vmaps))
-        for f in futures:
-            f.result()
+        cue_secs = [f.result() for f in futures]
     dt = time.perf_counter() - t0
+    # per-cue host cost (median over the batch, single core) + the v5e-8
+    # scaling model committed in BASELINE.md "full13 scaling model":
+    # device side scales with 8 chips, host cues scale with the VM's cores
+    # (ct5lp-hightpu-8t ships 224 vCPUs; 208 assumed usable for cue work)
+    med = {k: float(np.median([c[k] for c in cue_secs]))
+           for k in cue_secs[0]}
+    host_s = sum(med.values())
+    modeled = 208.0 / host_s
+    if device_vps:  # capped by 8 chips of the measured device-only rate
+        modeled = min(modeled, 8.0 * float(device_vps))
     return {"full13_vps": round(K / dt, 2),
-            "full13_host_cpus": os.cpu_count() or 1}
+            "full13_host_cpus": os.cpu_count() or 1,
+            "full13_cue_secs": {k: round(v, 3) for k, v in med.items()},
+            "full13_modeled_v5e8_vps": round(modeled, 1)}
 
 
 def _host_cues(arrs, fov, res, border_maps=None):
     """The 3 host-side cues for one view (module-level: picklable for the
-    full13 process pool)."""
+    full13 process pool). Returns per-cue wall seconds for the scaling
+    model."""
     from omnidata_tpu.cues.keypoints3d import keypoints3d_from_depth_code
     from omnidata_tpu.cues.segmentation import segment_2d, segment_25d
 
+    t0 = time.perf_counter()
     keypoints3d_from_depth_code(
         arrs["depth_zbuffer"], fov, res, support_size=0.3, max_meters=128.0,
         border_maps=border_maps,
     )
+    t1 = time.perf_counter()
     segment_2d(arrs["rgb"], scale=500.0, blur=3.0, cut_thresh=0.005,
                self_edge_weight=2.0)
+    t2 = time.perf_counter()
     segment_25d(arrs["depth_zbuffer"], arrs["normal"],
                 arrs["edge_occlusion"])
+    return {"kp3d": t1 - t0, "seg2d": t2 - t1,
+            "seg25d": time.perf_counter() - t2}
 
 
 def bench_train_step(batch: int = 8, n_iters: int = 10):

@@ -604,8 +604,12 @@ def _make_host_cue_pool():
         # env — children inherit it at spawn; the parent's already-running
         # backend is unaffected.
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        # Use the whole host: v5e-8 VMs ship 200+ vCPUs and the host cues
+        # are the pipeline's throughput bound (BASELINE.md full13 scaling
+        # model). 128-worker cap bounds spawn+import cost (~2 s/worker,
+        # amortized over a whole scene's views).
         return ProcessPoolExecutor(
-            max_workers=min(16, ncpu),
+            max_workers=min(128, ncpu),
             mp_context=mp.get_context("spawn"),
             initializer=_cpu_worker_init,
         )

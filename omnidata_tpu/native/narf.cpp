@@ -487,15 +487,20 @@ void extract_borders(RangeLevel& L) {
   L.change_dir.swap(bd);
 }
 
-// Direction angle in the viewer coordinate frame (nkdGetDirectionAngle):
-// frame with z along the view ray and y aligned with the sensor's "down".
-inline float direction_angle(const Vec3& point, const Vec3& dir) {
+// Viewer coordinate frame at a point (nkdGetDirectionAngle): z along the
+// view ray, y aligned with the sensor's "down". Hoisted out of the
+// per-region-pixel scoring loop — the frame depends only on the SEED.
+inline void viewer_frame(const Vec3& point, Vec3& ex, Vec3& ey) {
   Vec3 ez = normalize(point);
-  Vec3 ex = cross(Vec3{0.f, -1.f, 0.f}, ez);
+  ex = cross(Vec3{0.f, -1.f, 0.f}, ez);
   float n = norm(ex);
   if (n < 1e-6f) ex = Vec3{1.f, 0.f, 0.f};
   else ex = (1.0f / n) * ex;
-  Vec3 ey = cross(ez, ex);
+  ey = cross(ez, ex);
+}
+
+inline float direction_angle_in(const Vec3& ex, const Vec3& ey,
+                                const Vec3& dir) {
   float rx = dot(ex, dir), ry = dot(ey, dir);
   float len = std::sqrt(rx * rx + ry * ry);
   if (len < 1e-12f) return 0.f;
@@ -506,6 +511,12 @@ inline float direction_angle(const Vec3& point, const Vec3& dir) {
   while (a > static_cast<float>(M_PI)) a -= 2.0f * static_cast<float>(M_PI);
   while (a < -static_cast<float>(M_PI)) a += 2.0f * static_cast<float>(M_PI);
   return 0.5f * a;
+}
+
+inline float direction_angle(const Vec3& point, const Vec3& dir) {
+  Vec3 ex, ey;
+  viewer_frame(point, ex, ey);
+  return direction_angle_in(ex, ey, dir);
 }
 
 // The per-scale interest image (calculateCompleteInterestImage inner loop).
@@ -519,6 +530,33 @@ void interest_level(const RangeLevel& L, float support_size,
   std::vector<int> frontier;
   frontier.reserve(1024);
   float hist[kAngleBins];
+
+  // Integral image of (change >= min_change): a seed whose whole reachable
+  // support window contains no qualifying pixel scores an EMPTY histogram
+  // -> interest = neg * sqrt(0) = 0, so its region growing can be skipped
+  // outright. The window bound: scored pixels satisfy |p_j - p_i| <=
+  // radius, i.e. angular separation <= asin(radius / range_i); in pixels
+  // that is <= (radius / (range_i - radius)) / ar at the image center and
+  // up to sec^2(corner) more off-axis — doubled again for margin (a
+  // too-large window only costs a wasted BFS, never a wrong skip).
+  std::vector<int> integ((H + 1) * (W + 1), 0);
+  for (int y = 0; y < H; ++y) {
+    int rowsum = 0;
+    for (int x = 0; x < W; ++x) {
+      rowsum += (L.change[y * W + x] >= g_tun.min_change);
+      integ[(y + 1) * (W + 1) + x + 1] = integ[y * (W + 1) + x + 1] + rowsum;
+    }
+  }
+  auto window_has_change = [&](int y, int x, int r) {
+    int y0 = std::max(0, y - r), x0 = std::max(0, x - r);
+    int y1 = std::min(H - 1, y + r), x1 = std::min(W - 1, x + r);
+    return (integ[(y1 + 1) * (W + 1) + x1 + 1] - integ[y0 * (W + 1) + x1 + 1]
+            - integ[(y1 + 1) * (W + 1) + x0] + integ[y0 * (W + 1) + x0]) > 0;
+  };
+  const float half_w = 0.5f * static_cast<float>(W);
+  const float half_h = 0.5f * static_cast<float>(H);
+  const float sec2_corner =
+      1.0f + (half_w * half_w + half_h * half_h) * L.ar * L.ar;
 
   for (int i = 0; i < N; ++i) {
     interest[i] = 0.f;
@@ -544,7 +582,15 @@ void interest_level(const RangeLevel& L, float support_size,
       continue;
     }
 
+    // provably-empty-histogram skip (see integral image above)
+    float denom = std::max(L.range[i] - radius, 1e-3f);
+    int px_r = static_cast<int>(std::ceil(
+                   2.0f * (radius / denom) / L.ar * sec2_corner)) + 3;
+    if (!window_has_change(y, x, px_r)) continue;
+
     const Vec3 p = L.pts[i];
+    Vec3 fex, fey;
+    viewer_frame(p, fex, fey);
     std::fill(hist, hist + kAngleBins, 0.f);
     float negative_score = 1.0f;
     frontier.clear();
@@ -575,7 +621,7 @@ void interest_level(const RangeLevel& L, float support_size,
       float neg = 1.0f - 0.5f * s * std::max(1.0f - dist_factor / kOptimalDistance, 0.0f);
       neg = neg * neg;
       float pos = (px_dist < 2.0f) ? s : s * (1.0f - dist_factor);
-      float angle = direction_angle(p, L.change_dir[j]);
+      float angle = direction_angle_in(fex, fey, L.change_dir[j]);
       int cell = std::min(
           kAngleBins - 1,
           static_cast<int>(std::floor((angle + 0.5f * static_cast<float>(M_PI)) /
