@@ -43,18 +43,29 @@ class UpBlock(nn.Module):
 
 class UNet(nn.Module):
     """final_activation: None (default, like the reference UNet), 'relu'
-    (UNetRelu variant) or 'sigmoid' (v1 normal demo output convention)."""
+    (UNetRelu variant) or 'sigmoid' (v1 normal demo output convention).
+
+    remat: rematerialize each down/up block on the backward pass
+    (jax.checkpoint). The reference trains normals at batch 16 @ 512²
+    (config/normal.yml) — fwd+bwd activations for that config need ~16.1 GB,
+    just past one v5e chip's 15.75 GB HBM; per-block remat trades the
+    block-internal conv activations for recompute and fits with room to
+    spare. Parameter names/tree are unchanged (nn.remat is a lifted
+    transform), so checkpoints are interchangeable with the plain model."""
 
     out_channels: int = 3
     downsample: int = 6
     final_activation: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = DownBlock(16, pool=False, name="down1")(x)
+        Down = nn.remat(DownBlock) if self.remat else DownBlock
+        Up = nn.remat(UpBlock) if self.remat else UpBlock
+        x = Down(16, pool=False, name="down1")(x)
         skips = [x]
         for i in range(self.downsample):
-            x = DownBlock(2 ** (5 + i), name=f"down_blocks{i}")(x)
+            x = Down(2 ** (5 + i), name=f"down_blocks{i}")(x)
             skips.append(x)
 
         for i in (1, 2, 3):
@@ -63,7 +74,7 @@ class UNet(nn.Module):
             x = nn.relu(x)
 
         for i in reversed(range(self.downsample)):
-            x = UpBlock(2 ** (4 + i), name=f"up_blocks{i}")(x, skips[i])
+            x = Up(2 ** (4 + i), name=f"up_blocks{i}")(x, skips[i])
 
         x = nn.Conv(16, (3, 3), padding="SAME", name="last_conv1")(x)
         x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="last_bn")(x)

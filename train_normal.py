@@ -90,8 +90,11 @@ def main(argv=None):
     if model_kind == "dpt":
         model = DPTHybrid(num_channels=3)
     else:
+        # remat by default: the reference's bs16 @ 512^2 config OOMs one
+        # v5e chip by ~0.3 GB without it (models/unet.py UNet.remat)
         model = UNet(out_channels=3,
-                     downsample=int(cfg.get("unet_downsample", 6)))
+                     downsample=int(cfg.get("unet_downsample", 6)),
+                     remat=bool(cfg.get("remat", True)))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
     )
