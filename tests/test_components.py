@@ -386,3 +386,60 @@ def test_nyu_normal_eval_cli(tmp_path):
         out = _json.loads(buf.getvalue())
         assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
         assert 0 <= out["MAE"] <= 180 and np.isfinite(out["MAE"])
+
+
+@pytest.mark.slow
+def test_oasis_normal_eval_cli(tmp_path):
+    """eval_normal.py --oasis_csv end-to-end on format-exact synthetic
+    fixtures: the OASIS_trainval CSV layout (header; col 0 image path,
+    col 3 normal pickle path; empty-normal rows skipped) and the ROI
+    pickle schema {normal (h,w,3), min_y/max_y/min_x/max_x}
+    (paper_code/oasis_eval_tta.py:89-246)."""
+    import contextlib
+    import csv as _csv
+    import io
+    import json as _json
+    import pickle
+
+    from PIL import Image
+
+    import eval_normal
+
+    rng = np.random.RandomState(0)
+    H, W = 48, 64
+    rows = []
+    for i in range(2):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / f"img_{i}.png")
+        y0, y1, x0, x1 = 8, 39, 10, 53
+        roi = rng.randn(y1 - y0 + 1, x1 - x0 + 1, 3).astype(np.float32)
+        roi /= np.linalg.norm(roi, axis=-1, keepdims=True)
+        with open(tmp_path / f"normal_{i}.pkl", "wb") as fh:
+            pickle.dump({"normal": roi, "min_y": y0, "max_y": y1,
+                         "min_x": x0, "max_x": x1}, fh)
+        rows.append([f"img_{i}.png", "", "", f"normal_{i}.pkl"])
+    rows.append(["img_0.png", "", "", ""])  # empty normal column: skipped
+    with open(tmp_path / "val.csv", "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["Image", "Depth", "Occlusion", "Normal"])
+        w.writerows(rows)
+
+    from omnidata_tpu.data.external_eval import OASISNormalDatasetVal
+
+    ds = OASISNormalDatasetVal(str(tmp_path / "val.csv"), root=str(tmp_path),
+                               short_side_size=32)
+    assert len(ds) == 2  # the empty-normal row was skipped
+    s = ds[0]
+    assert s["orig_size"] == (H, W) and min(s["rgb"].shape[1:]) == 32
+    assert s["mask"][0, 20, 20] == 1.0 and s["mask"][0, 0, 0] == 0.0
+
+    for extra in ([], ["--tta"]):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eval_normal.main(["--oasis_csv", str(tmp_path / "val.csv"),
+                              "--oasis_root", str(tmp_path),
+                              "--model", "unet", "--image_size", "64",
+                              *extra])
+        out = _json.loads(buf.getvalue())
+        assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
+        assert 0 <= out["MAE"] <= 180 and np.isfinite(out["MAE"])
