@@ -333,7 +333,7 @@ def main():
             ("full13", lambda: bench_full13(mesh, curv, batches[0],
                                             cams_np, K, res, kw,
                                             device_vps=result["value"]),
-             240.0),
+             420.0),  # +180s: cold remote compile of the NARF border-maps program
             ("dpt", bench_dpt_inference, 300.0),
             ("xl_scene", lambda: bench_large_scene(
                 build=build_xl_scene, prefix="xl"), 420.0),
