@@ -19,22 +19,24 @@
 namespace {
 
 struct UnionFind {
-  std::vector<int64_t> parent, size;
-  explicit UnionFind(int64_t n) : parent(n), size(n, 1) {
-    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  // int32 throughout: N = H*W pixels always fits, and the find loops are
+  // random-access — half-width nodes double the cache-resident set
+  std::vector<int32_t> parent, size;
+  explicit UnionFind(int32_t n) : parent(n), size(n, 1) {
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
   }
-  int64_t find(int64_t x) {
-    int64_t root = x;
+  int32_t find(int32_t x) {
+    int32_t root = x;
     while (parent[root] != root) root = parent[root];
     while (parent[x] != root) {
-      int64_t next = parent[x];
+      int32_t next = parent[x];
       parent[x] = root;
       x = next;
     }
     return root;
   }
-  int64_t unite(int64_t a, int64_t b) {
-    int64_t ra = find(a), rb = find(b);
+  int32_t unite(int32_t a, int32_t b) {
+    int32_t ra = find(a), rb = find(b);
     if (ra == rb) return ra;
     if (size[ra] < size[rb]) std::swap(ra, rb);
     parent[rb] = ra;
@@ -53,7 +55,7 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
   // down-right, up-right (each block row-major)
   const int64_t n_edges =
       H * (W - 1) + (H - 1) * W + (H - 1) * (W - 1) + (H - 1) * (W - 1);
-  std::vector<int64_t> ea(n_edges), eb(n_edges);
+  std::vector<int32_t> ea(n_edges), eb(n_edges);
   std::vector<double> cost(n_edges);
   int64_t k = 0;
   auto push = [&](int64_t a, int64_t b) {
@@ -64,8 +66,8 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
       const double d = pa[c] - pb[c];
       d2 += d * d;
     }
-    ea[k] = a;
-    eb[k] = b;
+    ea[k] = static_cast<int32_t>(a);
+    eb[k] = static_cast<int32_t>(b);
     cost[k] = std::sqrt(d2);
     ++k;
   };
@@ -81,59 +83,64 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
   // LSD radix sort on the cost bit patterns: all costs are non-negative,
   // and non-negative IEEE doubles order exactly as their u64 bit patterns;
   // stable counting passes keep the insertion order of equal costs — i.e.
-  // the identical permutation std::stable_sort produced, at ~5x less wall
-  // (the comparator sort's indirect cost[] loads were most of this file's
-  // runtime on 512^2 inputs: ~1M edges, 20M cache-hostile comparisons).
-  std::vector<int64_t> order(n_edges), order_tmp(n_edges);
-  std::vector<uint64_t> key(n_edges);
+  // the identical permutation std::stable_sort produced, at a fraction of
+  // the wall (the comparator sort's 20M cache-hostile indirect cost[]
+  // loads were most of this file's runtime on 512^2 inputs). Keys ride
+  // along with the indices so every pass reads sequentially.
+  std::vector<int32_t> order(n_edges), order_tmp(n_edges);
+  std::vector<uint64_t> key(n_edges), key_tmp(n_edges);
   for (int64_t i = 0; i < n_edges; ++i) {
-    order[i] = i;
+    order[i] = static_cast<int32_t>(i);
     std::memcpy(&key[i], &cost[i], sizeof(uint64_t));
   }
   {
-    std::vector<int64_t> count(1 << 16);
+    std::vector<int32_t> count(1 << 16);
     for (int pass = 0; pass < 4; ++pass) {
       const int shift = 16 * pass;
       std::fill(count.begin(), count.end(), 0);
       for (int64_t i = 0; i < n_edges; ++i)
-        ++count[(key[order[i]] >> shift) & 0xFFFF];
-      int64_t run = 0;
+        ++count[(key[i] >> shift) & 0xFFFF];
+      int32_t run = 0;
       for (int64_t d = 0; d < (1 << 16); ++d) {
-        int64_t c = count[d];
+        int32_t c = count[d];
         count[d] = run;
         run += c;
       }
-      for (int64_t i = 0; i < n_edges; ++i)
-        order_tmp[count[(key[order[i]] >> shift) & 0xFFFF]++] = order[i];
+      for (int64_t i = 0; i < n_edges; ++i) {
+        const int32_t dst = count[(key[i] >> shift) & 0xFFFF]++;
+        key_tmp[dst] = key[i];
+        order_tmp[dst] = order[i];
+      }
+      key.swap(key_tmp);
       order.swap(order_tmp);
     }
   }
 
-  UnionFind uf(N);
+  UnionFind uf(static_cast<int32_t>(N));
   std::vector<double> thresh(N, scale);
   for (int64_t oi = 0; oi < n_edges; ++oi) {
-    const int64_t e = order[oi];
-    const int64_t ra = uf.find(ea[e]);
-    const int64_t rb = uf.find(eb[e]);
+    const int32_t e = order[oi];
+    const int32_t ra = uf.find(ea[e]);
+    const int32_t rb = uf.find(eb[e]);
     if (ra == rb) continue;
     const double w = cost[e];
     if (w <= thresh[ra] && w <= thresh[rb]) {
-      const int64_t r = uf.unite(ra, rb);
+      const int32_t r = uf.unite(ra, rb);
       thresh[r] = w + scale / static_cast<double>(uf.size[r]);
     }
   }
   for (int64_t oi = 0; oi < n_edges; ++oi) {
-    const int64_t e = order[oi];
-    const int64_t ra = uf.find(ea[e]);
-    const int64_t rb = uf.find(eb[e]);
+    const int32_t e = order[oi];
+    const int32_t ra = uf.find(ea[e]);
+    const int32_t rb = uf.find(eb[e]);
     if (ra != rb && (uf.size[ra] < min_size || uf.size[rb] < min_size))
       uf.unite(ra, rb);
   }
 
   // consecutive labels keyed by sorted root id (np.unique semantics)
-  std::vector<int64_t> roots(N);
-  for (int64_t i = 0; i < N; ++i) roots[i] = uf.find(i);
-  std::vector<int64_t> uniq(roots);
+  std::vector<int32_t> roots(N);
+  for (int64_t i = 0; i < N; ++i) roots[i] = uf.find(static_cast<int32_t>(i));
+  std::vector<int32_t> uniq(roots);
   std::sort(uniq.begin(), uniq.end());
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
   for (int64_t i = 0; i < N; ++i) {
