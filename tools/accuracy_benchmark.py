@@ -173,8 +173,12 @@ def train_normal_model(root: str, train_root: str, val_root: str,
         train_datasets={"replica": True}, val_datasets={"replica": True},
     )
     _note(f"training UNet-normals: {steps} steps @ bs {batch} {res}^2")
+    # --resume: restart-safe — a killed run continues from ckpt_dir/last
+    # instead of paying the finished steps again (try_resume is a no-op on
+    # a fresh directory)
     train_normal.main(["--config_file",
-                       _write_cfg(os.path.join(root, "normal.yml"), cfg)])
+                       _write_cfg(os.path.join(root, "normal.yml"), cfg),
+                       "--resume"])
     open(done, "w").write("ok")
     return ckpt_dir
 
@@ -200,7 +204,8 @@ def train_depth_model(root: str, train_root: str, val_root: str,
     _note(f"training DPT-depth: {steps} steps @ bs {batch} 384^2 "
           f"(SSI stage of the loss schedule)")
     train_depth.main(["--config_file",
-                      _write_cfg(os.path.join(root, "depth.yml"), cfg)])
+                      _write_cfg(os.path.join(root, "depth.yml"), cfg),
+                      "--resume"])
     open(done, "w").write("ok")
     return ckpt_dir
 
