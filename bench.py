@@ -461,14 +461,21 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw, device_vps=None):
     futures = []
     with pool:
         out = annotate_views(batch0, mesh, curv, **kw)
-        # NARF border prefix on the same device dispatch (the convolution-
-        # shaped 74% of keypoints3d's host cost; cues/narf_device.py) —
-        # only the region-growing interest stage rides the host pool
+        # device cue prefixes on the same dispatch: NARF border maps (the
+        # convolution-shaped 74% of keypoints3d's host cost,
+        # cues/narf_device.py) + the segmentation blur/channel maps
+        # (cues/seg_device.py) — only the sequential cores (region growing,
+        # Kruskal, ncut) ride the host pool
+        from omnidata_tpu.cues import seg_device as sd
+
         depth_m = out["depth_zbuffer"].astype(jnp.float32) * (128.0 / 65535.0)
         focal_dev = res / (2.0 * jnp.tan(jnp.asarray(cams_np[2][:K]) / 2.0))
         bmaps = nd.narf_border_maps(depth_m, focal_dev, n_lvl, 128.0)
-        out_np, bmaps_np = jax.device_get(
-            ({t: out[t] for t in needed}, bmaps))
+        seg2d_q = sd.seg2d_blur_maps(out["rgb"], sigma=3.0)
+        seg25d_q = sd.seg25d_channel_maps(
+            out["depth_zbuffer"], out["normal"], out["edge_occlusion"])
+        out_np, bmaps_np, seg2d_np, seg25d_np = jax.device_get(
+            ({t: out[t] for t in needed}, bmaps, seg2d_q, seg25d_q))
         for vi in range(K):
             f_px = res / (2.0 * math.tan(fovs[vi] / 2.0))
             S = min(n_lvl, nd.n_levels_for(f_px, res, res))
@@ -476,7 +483,7 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw, device_vps=None):
                      for lvl in bmaps_np[:S]]
             futures.append(pool.submit(
                 _host_cues, {t: out_np[t][vi] for t in needed}, fovs[vi],
-                res, vmaps))
+                res, vmaps, seg2d_np[vi], seg25d_np[vi]))
         cue_secs = [f.result() for f in futures]
     dt = time.perf_counter() - t0
     # per-cue host cost (median over the batch, single core) + the v5e-8
@@ -495,10 +502,13 @@ def bench_full13(mesh, curv, batch0, cams_np, K, res, kw, device_vps=None):
             "full13_modeled_v5e8_vps": round(modeled, 1)}
 
 
-def _host_cues(arrs, fov, res, border_maps=None):
+def _host_cues(arrs, fov, res, border_maps=None, seg2d_q=None,
+               seg25d_q=None):
     """The 3 host-side cues for one view (module-level: picklable for the
     full13 process pool). Returns per-cue wall seconds for the scaling
-    model."""
+    model. seg2d_q / seg25d_q: device-computed quantized input maps
+    (cues/seg_device.py) — the segmentation cues then skip their host
+    gaussians."""
     from omnidata_tpu.cues.keypoints3d import keypoints3d_from_depth_code
     from omnidata_tpu.cues.segmentation import segment_2d, segment_25d
 
@@ -508,11 +518,21 @@ def _host_cues(arrs, fov, res, border_maps=None):
         border_maps=border_maps,
     )
     t1 = time.perf_counter()
+    blurred = None
+    if seg2d_q is not None:
+        from omnidata_tpu.cues.seg_device import seg2d_blurred_from_maps
+
+        blurred = seg2d_blurred_from_maps(seg2d_q)
     segment_2d(arrs["rgb"], scale=500.0, blur=3.0, cut_thresh=0.005,
-               self_edge_weight=2.0)
+               self_edge_weight=2.0, blurred255=blurred)
     t2 = time.perf_counter()
+    input_img = None
+    if seg25d_q is not None:
+        from omnidata_tpu.cues.seg_device import seg25d_input_from_maps
+
+        input_img = seg25d_input_from_maps(seg25d_q, 2.0, 1.0, 10.0)
     segment_25d(arrs["depth_zbuffer"], arrs["normal"],
-                arrs["edge_occlusion"])
+                arrs["edge_occlusion"], input_img=input_img)
     return {"kp3d": t1 - t0, "seg2d": t2 - t1,
             "seg25d": time.perf_counter() - t2}
 
@@ -617,9 +637,34 @@ def bench_dpt_inference(batch: int = 8, n_iters: int = 20):
                 else peak_bf16 / 2.0
             if peak:
                 out[f"dpt384_{dt}_mfu"] = round(tflops / peak, 3)
-    if "dpt384_bfloat16_img_per_s" in out:
-        out["dpt384_vs_a100_est"] = round(
-            out["dpt384_bfloat16_img_per_s"] / A100_DPT384_IMG_PER_S_EST, 2)
+    # bf16 batch sweep (VERDICT r4 #4): larger batches amortize the fixed
+    # per-dispatch work; each size costs one more remote compile, so gate
+    # on remaining deadline. mb/fwd still hold the bfloat16 build from the
+    # loop above (last dtype) — reuse it: a fresh init would re-ship ~250MB
+    # of weights through the tunnel.
+    assert dt == "bfloat16", dt  # loop ordering guarantees the bf16 build
+    for b in (16, 32):
+        if _remaining() < 180.0:
+            break
+        xb = jnp.asarray(
+            np.random.RandomState(0).rand(b, 3, 384, 384), jnp.float32)
+        try:
+            float(jnp.sum(fwd(mb.variables, xb)))  # compile + warm
+            t0 = time.perf_counter()
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n_iters):
+                acc = acc + jnp.sum(fwd(mb.variables, xb))
+            _ = float(acc)
+            out[f"dpt384_bf16_b{b}_img_per_s"] = round(
+                b * n_iters / (time.perf_counter() - t0), 1)
+        except Exception as e:
+            out[f"dpt384_bf16_b{b}_error"] = repr(e)[:120]
+            break
+    best = max(out.get("dpt384_bfloat16_img_per_s", 0.0),
+               out.get("dpt384_bf16_b16_img_per_s", 0.0),
+               out.get("dpt384_bf16_b32_img_per_s", 0.0))
+    if best:
+        out["dpt384_vs_a100_est"] = round(best / A100_DPT384_IMG_PER_S_EST, 2)
     return out
 
 

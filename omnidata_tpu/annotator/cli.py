@@ -347,11 +347,12 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
     host_kv = _host_cue_settings_kv(settings) if host_tasks else None
     pending: list = []
 
-    def write_outputs(view, arrs, border_maps=None):
+    def write_outputs(view, arrs, dev_maps=None):
         """arrs: {modality: np array} for one view (already on host). Keys
         can be a subset of mods (e.g. no 'semantic' without face labels).
-        border_maps: this view's device-computed NARF border maps (TPU
-        batch path) — keypoints3d then runs only its host interest stage."""
+        dev_maps: this view's device-computed cue input maps (TPU batch
+        path; see host_cues_for_view) — the host cues then skip their
+        convolution-shaped prefixes."""
         for t in arrs:
             if t == "fragments":
                 path = file_name_for(
@@ -370,12 +371,13 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                       for t in _HOST_CUE_INPUTS if t in arrs}
             pending.append(host_pool.submit(
                 _host_cue_job, model_path, view, tuple(host_tasks), host_kv,
-                cue_in, border_maps,
+                cue_in, dev_maps,
             ))
 
     import jax
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (jax.default_backend() == "tpu"
+              or bool(getattr(settings, "FORCE_BATCHED_PATH", 0)))
     i = 0
     with Profiler("Render") as pflr:
         if on_tpu:
@@ -385,6 +387,10 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
             from .pipeline import annotate_views
 
             K = int(getattr(settings, "VIEWS_PER_DISPATCH", 64))
+            # FORCE_BATCHED_PATH off-TPU: Pallas kernels only run in
+            # interpret mode on CPU (the XLA fallback is the per-view path)
+            kw_batched = {**kw,
+                          "interpret": jax.default_backend() != "tpu"}
             from ..mesh.pallas_raster import max_views_per_dispatch
 
             T_view = (settings.RESOLUTION // settings.RASTER_TILE) ** 2
@@ -394,10 +400,11 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                       f"(SMEM bound at {T_view} tiles/view)")
                 K = k_max
 
-            # device NARF border prefix: the convolution-shaped 74% of the
-            # keypoints3d host cost rides the same dispatch as the render
-            # (cues/narf_device.py); only the region-growing interest stage
-            # stays in the host pool
+            # device cue prefixes: the convolution-shaped parts of the host
+            # cues ride the same dispatch as the render — NARF border maps
+            # (74% of keypoints3d, cues/narf_device.py) and the segmentation
+            # blur/channel maps (cues/seg_device.py); only the sequential
+            # cores (region growing, Kruskal, ncut) stay in the host pool
             dev_narf = ("keypoints3d" in host_tasks
                         and "depth_zbuffer" in mods)
             if dev_narf:
@@ -408,24 +415,38 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                 res = settings.RESOLUTION
                 maxm = float(settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS)
                 n_lvl = _nd.max_levels_for(res, res)
+            seg2d_sigma = float(settings.SEGMENTATION_2D_BLUR)
+            dev_seg2d = ("segment_unsup2d" in host_tasks and "rgb" in mods
+                         and seg2d_sigma > 0)
+            dev_seg25d = ("segment_unsup25d" in host_tasks
+                          and all(m in mods for m in
+                                  ("depth_zbuffer", "normal",
+                                   "edge_occlusion")))
+            if dev_seg2d or dev_seg25d:
+                from ..cues import seg_device as _sd
 
-            def process(chunk_views, out, bmaps):
+            def process(chunk_views, out, dmaps):
                 nonlocal i
                 # ONE host fetch per batch (per-view np.asarray slices would
                 # each pay a device round-trip), then fan out IO + host cues
-                out_np, bmaps_np = jax.device_get(
-                    ({t: out[t] for t in mods if t in out}, bmaps))
+                out_np, dmaps_np = jax.device_get(
+                    ({t: out[t] for t in mods if t in out}, dmaps))
                 for vi, view in enumerate(chunk_views):
-                    vmaps = None
+                    vmaps = {}
+                    bmaps_np = dmaps_np.get("narf")
                     if bmaps_np is not None:
                         f_px = res / (2.0 * _math.tan(
                             view["field_of_view_rads"] / 2.0))
                         S = min(len(bmaps_np),
                                 _nd.n_levels_for(f_px, res, res))
-                        vmaps = [(lvl[0][vi], lvl[1][vi], lvl[2][vi])
-                                 for lvl in bmaps_np[:S]]
+                        vmaps["narf"] = [(lvl[0][vi], lvl[1][vi], lvl[2][vi])
+                                         for lvl in bmaps_np[:S]]
+                    for key in ("seg2d_q", "seg25d_q"):
+                        if key in dmaps_np:
+                            vmaps[key] = dmaps_np[key][vi]
                     write_outputs(view,
-                                  {t: a[vi] for t, a in out_np.items()}, vmaps)
+                                  {t: a[vi] for t, a in out_np.items()},
+                                  vmaps or None)
                     i += 1
                     pflr.step(f"finished img {i}/{n_imgs}")
 
@@ -444,17 +465,24 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                     jnp.stack([c.fov for c in cams]),
                     settings.RESOLUTION,
                 )
-                out = annotate_views(batch, mesh, curv, **kw)
-                bmaps = None
+                out = annotate_views(batch, mesh, curv, **kw_batched)
+                dmaps = {}
                 if dev_narf:
                     depth_m = out["depth_zbuffer"].astype(jnp.float32) * (
                         maxm / 65535.0)
                     focal = res / (2.0 * jnp.tan(batch.fov / 2.0))
-                    bmaps = _nd.narf_border_maps(
+                    dmaps["narf"] = _nd.narf_border_maps(
                         depth_m, focal, n_lvl, maxm)
+                if dev_seg2d and "rgb" in out:
+                    dmaps["seg2d_q"] = _sd.seg2d_blur_maps(
+                        out["rgb"], sigma=seg2d_sigma)
+                if dev_seg25d:
+                    dmaps["seg25d_q"] = _sd.seg25d_channel_maps(
+                        out["depth_zbuffer"], out["normal"],
+                        out["edge_occlusion"])
                 if prev is not None:
                     process(*prev)
-                prev = (chunk_views, out, bmaps)
+                prev = (chunk_views, out, dmaps)
             if prev is not None:
                 process(*prev)
         else:
@@ -619,13 +647,13 @@ def _make_host_cue_pool():
 
 
 def _host_cue_job(model_path, view, tasks, settings_kv, arrs,
-                  border_maps=None) -> None:
+                  dev_maps=None) -> None:
     """Process-pool entry: host cues for one view from in-memory arrays."""
     from types import SimpleNamespace
 
     host_cues_for_view(model_path, view, tasks,
                        SimpleNamespace(**settings_kv), arrs.__getitem__,
-                       border_maps=border_maps)
+                       dev_maps=dev_maps)
 
 
 def _host_cue_disk_job(model_path, view, tasks, settings_kv) -> None:
@@ -647,17 +675,20 @@ def _host_cue_disk_job(model_path, view, tasks, settings_kv) -> None:
 
 
 def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
-                       border_maps=None) -> None:
+                       dev_maps=None) -> None:
     """Compute + write the per-view host cues (keypoints3d / segment_2d /
     segment_25d). `get(task)` returns the task's decoded image array — from
     disk (standalone host pass) or from the in-flight device batch (overlap
     path; reference counterpart: create_images_nonblender_utils.py:39-67
-    process_view workers). border_maps: optional device-computed NARF
-    border maps for this view (narf_device.py) — keypoints3d then runs
-    only its region-growing interest stage on the host."""
+    process_view workers). dev_maps: optional device-computed per-view input
+    maps — 'narf' (NARF border maps, narf_device.py; keypoints3d then runs
+    only its region-growing interest stage), 'seg2d_q' / 'seg25d_q'
+    (quantized blur/channel maps, seg_device.py; the segmentation cues then
+    skip their host-side gaussians)."""
     from ..cues.encode import save_png
     from ..sampling import file_name_for
 
+    dev_maps = dev_maps or {}
     p, v = view["point_uuid"], view["view_id"]
     out_path = lambda task: file_name_for(
         os.path.join(model_path, task), p, v, task, settings.PREFERRED_IMG_EXT
@@ -669,12 +700,17 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
             get("depth_zbuffer"), view["field_of_view_rads"],
             settings.RESOLUTION, support_size=settings.KEYPOINT_SUPPORT_SIZE,
             max_meters=settings.DEPTH_ZBUFFER_MAX_DISTANCE_METERS,
-            border_maps=border_maps,
+            border_maps=dev_maps.get("narf"),
         )
         save_png(out_path("keypoints3d"), out)
     if "segment_unsup2d" in tasks:
         from ..cues.segmentation import segment_2d
 
+        blurred = None
+        if "seg2d_q" in dev_maps:
+            from ..cues.seg_device import seg2d_blurred_from_maps
+
+            blurred = seg2d_blurred_from_maps(dev_maps["seg2d_q"])
         # keep uint8: felzenszwalb's img_as_float scaling depends on
         # the dtype (a float64 0-255 array would be double-scaled)
         labels = segment_2d(
@@ -683,11 +719,22 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
             blur=settings.SEGMENTATION_2D_BLUR,
             cut_thresh=settings.SEGMENTATION_2D_CUT_THRESH,
             self_edge_weight=settings.SEGMENTATION_2D_SELF_EDGE_WEIGHT,
+            blurred255=blurred,
         )
         save_png(out_path("segment_unsup2d"), labels.astype(np.uint8))
     if "segment_unsup25d" in tasks:
         from ..cues.segmentation import segment_25d
 
+        input_img = None
+        if "seg25d_q" in dev_maps:
+            from ..cues.seg_device import seg25d_input_from_maps
+
+            input_img = seg25d_input_from_maps(
+                dev_maps["seg25d_q"],
+                settings.SEGMENTATION_25D_DEPTH_WEIGHT,
+                settings.SEGMENTATION_25D_NORMAL_WEIGHT,
+                settings.SEGMENTATION_25D_EDGE_WEIGHT,
+            )
         labels = segment_25d(
             get("depth_zbuffer"), get("normal"), get("edge_occlusion"),
             depth_weight=settings.SEGMENTATION_25D_DEPTH_WEIGHT,
@@ -696,6 +743,7 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
             scale=settings.SEGMENTATION_25D_SCALE,
             cut_thresh=settings.SEGMENTATION_25D_CUT_THRESH,
             self_edge_weight=settings.SEGMENTATION_25D_SELF_EDGE_WEIGHT,
+            input_img=input_img,
         )
         save_png(out_path("segment_unsup25d"), labels.astype(np.uint8))
 

@@ -97,6 +97,9 @@ class Settings:
     MAX_FACE_EDGE_METERS: float = 1.0  # split longer edges at load (0 = off);
     # no-op for real scans, kills pathological big faces (walls as 2 tris)
     VIEWS_PER_DISPATCH: int = 32  # cameras per fused TPU dispatch
+    FORCE_BATCHED_PATH: int = 0  # diagnostic: take the batched-dispatch
+    # branch (incl. device cue maps) even off-TPU (annotate_views then uses
+    # its XLA fallback renderer); used by tests to cover the TPU code path
 
 
 def _coerce(value: str):

@@ -96,7 +96,8 @@ def _felz_native():
 
 
 def felzenszwalb(img: np.ndarray, scale: float = 200.0, sigma: float = 0.8,
-                 min_size: int = 20, backend: str = "native") -> np.ndarray:
+                 min_size: int = 20, backend: str = "native",
+                 pre_scaled: bool = False) -> np.ndarray:
     """Graph-based superpixels; img (H,W) or (H,W,C). Returns labels.
 
     Edge costs are computed at the 0-255 scale (img_as_float then x255 —
@@ -106,10 +107,16 @@ def felzenszwalb(img: np.ndarray, scale: float = 200.0, sigma: float = 0.8,
     x255 reproduces its region structure with ARI ~0.9 at this stage, while
     unscaled costs chain-merge into one giant region).
 
+    pre_scaled=True: img is ALREADY at that 0-255 cost scale (e.g. the
+    device-blurred maps of cues/seg_device.py) — skip the dtype rescale.
+
     backend='native' uses the C++ Kruskal core when g++ is available
     (identical labels up to np.unique renumbering, same stable tie order);
     'python' forces the reference loop."""
-    img = np.atleast_3d(_img_as_float(img)) * 255.0
+    if pre_scaled:
+        img = np.atleast_3d(np.asarray(img, np.float64))
+    else:
+        img = np.atleast_3d(_img_as_float(img)) * 255.0
     if backend == "native":
         try:
             lib = _felz_native()
@@ -409,11 +416,20 @@ def cut_normalized(labels: np.ndarray, Wm, thresh: float = 0.001,
 
 def segment_2d(img: np.ndarray, scale: float = 200.0, blur: float = 3.0,
                cut_thresh: float = 0.005, num_cuts: int = 10,
-               self_edge_weight: float = 1.0) -> np.ndarray:
+               self_edge_weight: float = 1.0,
+               blurred255: np.ndarray | None = None) -> np.ndarray:
     """segment_unsup2d (create_segmentation_2d_images.py:41-85): felzenszwalb
     on the (blurred) rgb/gray image (0-255 scale), mean-color RAG, normalized
-    cuts."""
-    labels = felzenszwalb(img, scale=scale, sigma=blur, min_size=20)
+    cuts.
+
+    blurred255: optional device-computed blur of img at the 0-255 scale
+    (seg_device.seg2d_blur_maps) — skips the host-side gaussian. The RAG
+    still reads the raw img, as the reference does."""
+    if blurred255 is not None:
+        labels = felzenszwalb(blurred255, scale=scale, sigma=0.0,
+                              min_size=20, pre_scaled=True)
+    else:
+        labels = felzenszwalb(img, scale=scale, sigma=blur, min_size=20)
     Wm, _ = rag_mean_color(img, labels)
     return cut_normalized(labels, Wm, thresh=cut_thresh, num_cuts=num_cuts,
                           max_edge=self_edge_weight)
@@ -430,10 +446,20 @@ def segment_25d(
     cut_thresh: float = 1.0,
     num_cuts: int = 100,
     self_edge_weight: float = 1.0,
+    input_img: np.ndarray | None = None,
 ) -> np.ndarray:
     """segment_unsup25d (create_segmentation_25d_images.py:47-120): 5-channel
     [w_d*log(depth)/16, w_n*smoothed normal, w_e*edge] -> felz(min_size=200)
-    -> similarity RAG -> ncut."""
+    -> similarity RAG -> ncut.
+
+    input_img: optional pre-built WEIGHTED 5-channel image
+    (seg_device.seg25d_input_from_maps — the smoothing computed on device);
+    depth/normal/edge args and the *_weight knobs are then ignored."""
+    if input_img is not None:
+        return _segment_25d_from_img(
+            np.asarray(input_img, np.float64), scale=scale,
+            cut_thresh=cut_thresh, num_cuts=num_cuts,
+            self_edge_weight=self_edge_weight)
     depth = np.asarray(depth_code_u16, np.float64)
     mask = depth < 2**16 - 2
     img_depth = np.log(np.maximum(depth, 1.0)) / 16.0
@@ -464,6 +490,13 @@ def segment_25d(
         ],
         -1,
     )
+    return _segment_25d_from_img(img, scale=scale, cut_thresh=cut_thresh,
+                                 num_cuts=num_cuts,
+                                 self_edge_weight=self_edge_weight)
+
+
+def _segment_25d_from_img(img: np.ndarray, scale: float, cut_thresh: float,
+                          num_cuts: int, self_edge_weight: float):
     # felzenszwalb lifts costs to the 0-255 scale internally; the RAG sees
     # the raw [0,~1] float channels with sigma=255 (exactly what the
     # reference feeds skimage: create_segmentation_25d_images.py:104-113) —

@@ -456,3 +456,86 @@ def test_keypoints3d_hybrid_matches_native():
     assert hybrid.shape == (H, W) and hybrid.max() > 0.05
     np.testing.assert_allclose(hybrid, native, atol=0.2)
     assert np.corrcoef(hybrid.ravel(), native.ravel())[0, 1] > 0.8
+
+
+def test_seg2d_device_blur_matches_host():
+    """Device blur maps (seg_device.seg2d_blur_maps) vs the host gaussian
+    felzenszwalb applies internally: numeric agreement within quantization,
+    and identical-to-high-ARI segmentations through the full pipeline."""
+    import scipy.ndimage as ndi
+
+    from omnidata_tpu.cues.seg_device import (
+        seg2d_blur_maps,
+        seg2d_blurred_from_maps,
+    )
+    from omnidata_tpu.cues.segmentation import segment_2d
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(48, 40, 3) * 40).astype(np.uint8)
+    img[12:30, 8:24] += 120
+    img[34:, 28:] += 180
+    sigma = 3.0
+
+    q = np.asarray(seg2d_blur_maps(jnp.asarray(img[None]), sigma=sigma))[0]
+    blurred = seg2d_blurred_from_maps(q)
+    ref = np.stack([ndi.gaussian_filter(img[..., c].astype(np.float64), sigma)
+                    for c in range(3)], -1)
+    # u16 quantization step of the 0-255 scale is 255/65535 ~ 0.0039
+    np.testing.assert_allclose(blurred, ref, atol=0.02)
+
+    host = segment_2d(img, scale=50.0, blur=sigma, cut_thresh=0.005)
+    dev = segment_2d(img, scale=50.0, blur=sigma, cut_thresh=0.005,
+                     blurred255=blurred)
+    from test_golden_labels import _adjusted_rand
+
+    assert _adjusted_rand(host, dev) > 0.9
+
+
+def test_seg25d_device_channels_match_host():
+    """Device channel maps (seg_device.seg25d_channel_maps) vs the host
+    masked-smoothing path of segment_25d: channel numerics within
+    quantization and high-ARI end-to-end labels."""
+    import scipy.ndimage as ndi
+
+    from omnidata_tpu.cues.seg_device import (
+        seg25d_channel_maps,
+        seg25d_input_from_maps,
+    )
+    from omnidata_tpu.cues.segmentation import segment_25d
+
+    rng = np.random.RandomState(7)
+    H, W = 48, 40
+    depth = np.full((H, W), int(3.0 * 512), np.uint16)
+    depth[20:, 24:] = int(1.2 * 512)
+    depth[:4, :6] = 65535  # invalid sky pixels exercise the mask
+    normal = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    normal[20:, 24:] //= 3
+    edge = (rng.rand(H, W) * 5000).astype(np.uint16)
+
+    q = np.asarray(seg25d_channel_maps(
+        jnp.asarray(depth[None]), jnp.asarray(normal[None]),
+        jnp.asarray(edge[None])))[0]
+    w_d, w_n, w_e = 2.0, 1.0, 10.0
+    inp = seg25d_input_from_maps(q, w_d, w_n, w_e)
+
+    # host reference channels (segment_25d's own masked smoothing)
+    mask = (depth.astype(np.float64) < 2**16 - 2).astype(np.float64)
+    eps = np.finfo(np.float32).eps
+
+    def sm(x, s):
+        return ndi.gaussian_filter(x * mask, s, mode="constant") / (
+            ndi.gaussian_filter(mask, s, mode="constant") + eps)
+
+    ch0 = sm(np.log(np.maximum(depth.astype(np.float64), 1.0)) / 16.0, 1.0)
+    chn = np.stack([sm(normal[..., c].astype(np.float64) / 255.0, 2.0)
+                    for c in range(3)], -1)
+    ch4 = edge.astype(np.float64) / 255.0 / 255.0
+    ref = np.concatenate([w_d * ch0[..., None], w_n * chn,
+                          w_e * ch4[..., None]], -1)
+    np.testing.assert_allclose(inp, ref, atol=0.02)
+
+    host = segment_25d(depth, normal, edge)
+    dev = segment_25d(depth, normal, edge, input_img=inp)
+    from test_golden_labels import _adjusted_rand
+
+    assert _adjusted_rand(host, dev) > 0.9

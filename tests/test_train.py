@@ -861,6 +861,98 @@ def test_cli_all_overlaps_host_cues(mini_scene_dataset, tmp_path):
             assert f"{v}_domain_{task}.png" in got, (task, v)
 
 
+@pytest.mark.slow
+def test_cli_batched_path_device_cue_maps(mini_scene_dataset, tmp_path):
+    """The TPU batched-dispatch branch (FORCE_BATCHED_PATH=1 off-TPU) must
+    produce the same outputs as the per-view fallback — including the host
+    cues fed by DEVICE-computed input maps (narf_device border maps,
+    seg_device blur/channel maps). Guards the dev_maps plumbing the real
+    TPU path uses (run_device_tasks process())."""
+    import shutil
+
+    from PIL import Image
+
+    import omnidata_tpu.annotator.cli as cli
+
+    d1 = str(tmp_path / "batched")
+    d2 = str(tmp_path / "perview")
+    shutil.copytree(mini_scene_dataset, d1)
+    base_args = [
+        "--task", "all",
+        "with", "NUM_POINTS=2", "RESOLUTION=64", "MIN_CAMERA_SPACING=2.0",
+        "MAX_VIEWS_PER_POINT=2", "MIN_NONFIXATED_AFTER_PRUNE=0",
+        "RASTER_TILE=32", "RASTER_CAP=256", "RASTER_CHUNK=64",
+    ]
+    cli.main(["--model_path", d1] + base_args + ["FORCE_BATCHED_PATH=1",
+                                                 "VIEWS_PER_DISPATCH=4"])
+    # identical sampling settings + RANDOM_SEED -> identical views; only the
+    # render/cue path differs between the two runs
+    shutil.copytree(mini_scene_dataset, d2)
+    cli.main(["--model_path", d2] + base_args)
+    assert sorted(os.listdir(os.path.join(d1, "point_info"))) == sorted(
+        os.listdir(os.path.join(d2, "point_info")))
+
+    from test_golden_labels import _adjusted_rand
+
+    views = sorted(
+        fn.replace("_domain_depth_zbuffer.png", "")
+        for fn in os.listdir(os.path.join(d1, "depth_zbuffer")))
+    assert views
+    for task in ("depth_zbuffer", "keypoints3d", "segment_unsup2d",
+                 "segment_unsup25d"):
+        for v in views:
+            fn = f"{v}_domain_{task}.png"
+            a = np.asarray(Image.open(os.path.join(d1, task, fn)))
+            b = np.asarray(Image.open(os.path.join(d2, task, fn)))
+            if task == "depth_zbuffer":
+                np.testing.assert_array_equal(a, b)
+            elif task == "keypoints3d":
+                # the batched path runs the HYBRID pipeline (device border
+                # maps + host interest stage): pin its plumbing BIT-EXACTLY
+                # by recomputing from the written depth with the CLI's own
+                # focal recipe (device f32 jnp.tan — an ulp off the host
+                # f64 math flips quantized border codes at thresholds and
+                # region growing amplifies it), and keep a loose sanity
+                # corr vs the native per-view run (hybrid-vs-native
+                # intrinsically diverges at 64x64: corr ~0.73-0.87 here)
+                import json
+                import math
+
+                import jax
+                import jax.numpy as jnp
+
+                from omnidata_tpu.cues import narf_device as nd
+                from omnidata_tpu.cues.keypoints3d import (
+                    narf_interest_with_maps,
+                )
+
+                code = np.asarray(Image.open(os.path.join(
+                    d1, "depth_zbuffer", f"{v}_domain_depth_zbuffer.png")))
+                depth_m = code.astype(np.float32) * (128.0 / 65535.0)
+                info = json.load(open(os.path.join(
+                    d1, "point_info", f"{v}_domain_fixatedpose.json")))
+                fov = info["field_of_view_rads"]
+                focal_dev = np.asarray(
+                    64 / (2.0 * jnp.tan(jnp.float32(fov) / 2.0)), np.float32)
+                n_lvl = nd.max_levels_for(64, 64)
+                maps = jax.device_get(nd.narf_border_maps(
+                    jnp.asarray(depth_m[None]), jnp.asarray(focal_dev[None]),
+                    n_lvl, 128.0))
+                f_px = 64 / (2.0 * math.tan(fov / 2.0))
+                S = min(n_lvl, nd.n_levels_for(f_px, 64, 64))
+                vm = [(lvl[0][0], lvl[1][0], lvl[2][0]) for lvl in maps[:S]]
+                hyb = narf_interest_with_maps(depth_m, f_px, vm,
+                                              support_size=0.3)
+                hyb_png = np.clip(hyb * 65536.0, 0, 65535).astype(np.uint16)
+                np.testing.assert_array_equal(a, hyb_png)
+                assert np.corrcoef(a.ravel().astype(np.float64),
+                                   b.ravel().astype(np.float64))[0, 1] > 0.7
+            else:
+                if len(np.unique(a)) == 1 and len(np.unique(b)) == 1:
+                    continue  # both single-label: agreement, ARI undefined
+                assert _adjusted_rand(a, b) > 0.85, (task, v)
+
+
 def test_experiment_logger_jsonl(tmp_path):
     """ExperimentLogger (the wandb-gap backend, paper_code train_depth.py:
     12-14): config snapshot + append-only JSONL scalars; wandb absent here
