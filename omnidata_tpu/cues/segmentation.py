@@ -160,7 +160,10 @@ def felzenszwalb(img: np.ndarray, scale: float = 200.0, sigma: float = 0.8,
     E = np.concatenate(edges)
     Wt = np.concatenate(weights)
 
-    order = np.argsort(Wt, kind="stable")
+    # sort by the FLOAT32-rounded cost (stable): matches the native core's
+    # 2-pass u32 radix exactly — near-ties within one f32 ulp collapse to
+    # insertion order in both implementations; threshold math stays f64
+    order = np.argsort(Wt.astype(np.float32), kind="stable")
     uf = _UnionFind(H * W)
     thresh = np.full(H * W, scale, np.float64)  # tau = scale / |C|, |C|=1
     for ei in order:

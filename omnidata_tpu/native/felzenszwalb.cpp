@@ -11,6 +11,9 @@
 // scanned row-major (matching np.unique(return_inverse=True) up to
 // renumbering; callers treat labels as opaque ids).
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -26,14 +29,14 @@ struct UnionFind {
     for (int32_t i = 0; i < n; ++i) parent[i] = i;
   }
   int32_t find(int32_t x) {
-    int32_t root = x;
-    while (parent[root] != root) root = parent[root];
-    while (parent[x] != root) {
-      int32_t next = parent[x];
-      parent[x] = root;
-      x = next;
+    // path halving: one pass, every other node re-pointed at its
+    // grandparent — same roots (and therefore identical labels) as
+    // two-pass full compression, with ~half the memory traffic
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
     }
-    return root;
+    return x;
   }
   int32_t unite(int32_t a, int32_t b) {
     int32_t ra = find(a), rb = find(b);
@@ -50,6 +53,15 @@ struct UnionFind {
 extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
                                      int64_t C, double scale,
                                      int64_t min_size, int64_t* labels_out) {
+  const bool prof = std::getenv("FELZ_PROFILE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* name) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[felz] %-8s %.1f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - tick).count());
+    tick = now;
+  };
   const int64_t N = H * W;
   // edges in the exact order of the python builder: right, down,
   // down-right, up-right (each block row-major)
@@ -80,22 +92,27 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
   for (int64_t i = 0; i + 1 < H; ++i)
     for (int64_t j = 0; j + 1 < W; ++j) push((i + 1) * W + j, i * W + j + 1);
 
-  // LSD radix sort on the cost bit patterns: all costs are non-negative,
-  // and non-negative IEEE doubles order exactly as their u64 bit patterns;
-  // stable counting passes keep the insertion order of equal costs — i.e.
-  // the identical permutation std::stable_sort produced, at a fraction of
-  // the wall (the comparator sort's 20M cache-hostile indirect cost[]
-  // loads were most of this file's runtime on 512^2 inputs). Keys ride
-  // along with the indices so every pass reads sequentially.
+  lap("edges");
+  // LSD radix sort on FLOAT32-rounded cost keys: non-negative IEEE floats
+  // order exactly as their u32 bit patterns, so two stable 16-bit counting
+  // passes produce the stable-sort permutation of the f32-rounded costs
+  // (half the passes and half the key traffic of the previous u64/f64
+  // sort). Costs within one f32 ulp of each other (~2^-24 relative —
+  // far below any perceptual difference in a [0,255]-scale color metric)
+  // collapse into ties broken by insertion order; the Python fallback
+  // applies the same f32 rounding before its stable argsort, so labels
+  // stay identical between the two implementations. The merge threshold
+  // math still uses the full f64 cost.
   std::vector<int32_t> order(n_edges), order_tmp(n_edges);
-  std::vector<uint64_t> key(n_edges), key_tmp(n_edges);
+  std::vector<uint32_t> key(n_edges), key_tmp(n_edges);
   for (int64_t i = 0; i < n_edges; ++i) {
     order[i] = static_cast<int32_t>(i);
-    std::memcpy(&key[i], &cost[i], sizeof(uint64_t));
+    const float c32 = static_cast<float>(cost[i]);
+    std::memcpy(&key[i], &c32, sizeof(uint32_t));
   }
   {
     std::vector<int32_t> count(1 << 16);
-    for (int pass = 0; pass < 4; ++pass) {
+    for (int pass = 0; pass < 2; ++pass) {
       const int shift = 16 * pass;
       std::fill(count.begin(), count.end(), 0);
       for (int64_t i = 0; i < n_edges; ++i)
@@ -116,6 +133,7 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
     }
   }
 
+  lap("radix");
   UnionFind uf(static_cast<int32_t>(N));
   std::vector<double> thresh(N, scale);
   for (int64_t oi = 0; oi < n_edges; ++oi) {
@@ -137,6 +155,7 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
       uf.unite(ra, rb);
   }
 
+  lap("kruskal");
   // consecutive labels keyed by sorted root id (np.unique semantics)
   std::vector<int32_t> roots(N);
   for (int64_t i = 0; i < N; ++i) roots[i] = uf.find(static_cast<int32_t>(i));
@@ -147,4 +166,5 @@ extern "C" void felzenszwalb_segment(const double* img, int64_t H, int64_t W,
     labels_out[i] = static_cast<int64_t>(
         std::lower_bound(uniq.begin(), uniq.end(), roots[i]) - uniq.begin());
   }
+  lap("relabel");
 }

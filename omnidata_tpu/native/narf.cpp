@@ -43,6 +43,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <vector>
 
 namespace {
@@ -527,8 +528,10 @@ void interest_level(const RangeLevel& L, float support_size,
   const float radius = 0.5f * support_size;
   const float radius2 = radius * radius;
   std::vector<unsigned char> touched(N, 0);
-  std::vector<int> frontier;
-  frontier.reserve(1024);
+  std::vector<int> visited;
+  visited.reserve(4096);
+  std::vector<std::array<int, 3>> spans;  // candidate (x0, x1, y) ranges
+  spans.reserve(512);
   float hist[kAngleBins];
 
   // Integral image of (change >= min_change): a seed whose whole reachable
@@ -557,6 +560,7 @@ void interest_level(const RangeLevel& L, float support_size,
   const float half_h = 0.5f * static_cast<float>(H);
   const float sec2_corner =
       1.0f + (half_w * half_w + half_h * half_h) * L.ar * L.ar;
+  long n_bilinear = 0, n_skip = 0, n_bfs = 0, bfs_px = 0;  // NARF_PROFILE
 
   for (int i = 0; i < N; ++i) {
     interest[i] = 0.f;
@@ -579,6 +583,7 @@ void interest_level(const RangeLevel& L, float support_size,
       float v11 = coarser_interest[y1 * coarser->W + x1];
       interest[i] = (1 - ty) * ((1 - tx) * v00 + tx * v01) +
                     ty * ((1 - tx) * v10 + tx * v11);
+      ++n_bilinear;
       continue;
     }
 
@@ -586,37 +591,38 @@ void interest_level(const RangeLevel& L, float support_size,
     float denom = std::max(L.range[i] - radius, 1e-3f);
     int px_r = static_cast<int>(std::ceil(
                    2.0f * (radius / denom) / L.ar * sec2_corner)) + 3;
-    if (!window_has_change(y, x, px_r)) continue;
+    if (!window_has_change(y, x, px_r)) { ++n_skip; continue; }
+    ++n_bfs;
 
     const Vec3 p = L.pts[i];
     Vec3 fex, fey;
     viewer_frame(p, fex, fey);
     std::fill(hist, hist + kAngleBins, 0.f);
     float negative_score = 1.0f;
-    frontier.clear();
-    frontier.push_back(i);
-    touched[i] = 1;
-    for (size_t fi = 0; fi < frontier.size(); ++fi) {
-      int j = frontier[fi];
-      if (!L.valid[j] || L.shadow[j]) continue;
-      int y2 = j / W, x2 = j - y2 * W;
-      float px_dist = static_cast<float>(
-          std::max(std::abs(x2 - x), std::abs(y2 - y)));
+
+    // Span-based flood fill of the SAME region the old per-pixel BFS grew:
+    // the 8-connected component (through valid, non-shadow pixels) of
+    //   P(j) = px_dist(i,j) <= 2  OR  |pts[j] - pts[i]|^2 <= radius^2
+    // containing the seed. Scores fold only through max (histogram) and
+    // min (negative_score), so traversal order is irrelevant — results are
+    // bit-identical to the BFS — while spans pay ONE predicate eval + one
+    // touched byte per region pixel instead of 9 neighbor probes
+    // (~2x measured on the L0/L1 hot levels).
+    auto inreg = [&](int yy, int xx) -> bool {
+      int j = yy * W + xx;
+      if (!L.valid[j] || L.shadow[j]) return false;
+      if (std::max(std::abs(xx - x), std::abs(yy - y)) <= 2) return true;
       Vec3 q = L.pts[j] - p;
-      float d2 = dot(q, q);
-      if (px_dist > 2.0f && d2 > radius2) continue;  // outside: no expansion
-      for (int y3 = std::max(0, y2 - 1); y3 <= std::min(y2 + 1, H - 1); ++y3) {
-        for (int x3 = std::max(0, x2 - 1); x3 <= std::min(x2 + 1, W - 1); ++x3) {
-          int k = y3 * W + x3;
-          if (!touched[k]) {
-            touched[k] = 1;
-            frontier.push_back(k);
-          }
-        }
-      }
+      return dot(q, q) <= radius2;
+    };
+    auto score = [&](int yy, int xx) {
+      int j = yy * W + xx;
       float s = L.change[j];
-      if (s < g_tun.min_change) continue;
-      float dist_factor = std::sqrt(d2) / radius;
+      if (s < g_tun.min_change) return;
+      float px_dist = static_cast<float>(
+          std::max(std::abs(xx - x), std::abs(yy - y)));
+      Vec3 q = L.pts[j] - p;
+      float dist_factor = std::sqrt(dot(q, q)) / radius;
       // nkdGetScores
       float neg = 1.0f - 0.5f * s * std::max(1.0f - dist_factor / kOptimalDistance, 0.0f);
       neg = neg * neg;
@@ -629,8 +635,36 @@ void interest_level(const RangeLevel& L, float support_size,
       cell = std::max(0, cell);
       hist[cell] = std::max(hist[cell], pos);
       negative_score = std::min(negative_score, neg);
+    };
+    auto fill_run = [&](int yy, int xx) {
+      // expand the maximal untouched in-region run through (yy, xx); mark,
+      // score, and enqueue the 1-px-widened ranges of both adjacent rows
+      int lx = xx, rx = xx;
+      int row = yy * W;
+      while (lx > 0 && !touched[row + lx - 1] && inreg(yy, lx - 1)) --lx;
+      while (rx < W - 1 && !touched[row + rx + 1] && inreg(yy, rx + 1)) ++rx;
+      for (int x4 = lx; x4 <= rx; ++x4) {
+        touched[row + x4] = 1;
+        visited.push_back(row + x4);
+        score(yy, x4);
+      }
+      if (yy > 0) spans.push_back({lx - 1, rx + 1, yy - 1});
+      if (yy < H - 1) spans.push_back({lx - 1, rx + 1, yy + 1});
+      return rx;
+    };
+    visited.clear();
+    spans.clear();
+    fill_run(y, x);  // seed run (P(seed) always holds: px_dist = 0)
+    while (!spans.empty()) {
+      auto [a, b, yy] = spans.back();
+      spans.pop_back();
+      int xb = std::min(W - 1, b);
+      for (int xx = std::max(0, a); xx <= xb; ++xx) {
+        if (!touched[yy * W + xx] && inreg(yy, xx)) xx = fill_run(yy, xx);
+      }
     }
-    for (int j : frontier) touched[j] = 0;
+    bfs_px += static_cast<long>(visited.size());
+    for (int j : visited) touched[j] = 0;
 
     float angle_change = 0.f;
     for (int c1 = 0; c1 < kAngleBins - 1; ++c1) {
@@ -643,6 +677,13 @@ void interest_level(const RangeLevel& L, float support_size,
       }
     }
     interest[i] = negative_score * std::sqrt(angle_change);
+  }
+  if (std::getenv("NARF_PROFILE")) {
+    std::fprintf(stderr,
+                 "[narf]   level %dx%d: bilinear %ld skip %ld bfs %ld "
+                 "(avg frontier %.1f)\n",
+                 W, H, n_bilinear, n_skip, n_bfs,
+                 n_bfs ? static_cast<double>(bfs_px) / n_bfs : 0.0);
   }
 }
 
