@@ -369,6 +369,11 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
         if host_pool is not None:
             cue_in = {t: np.asarray(arrs[t])
                       for t in _HOST_CUE_INPUTS if t in arrs}
+            if dev_maps and "seg25d_q" in dev_maps:
+                # segment_25d reads only the device channel maps then —
+                # don't pickle 1.25 MB/view of unused planes to the pool
+                cue_in.pop("normal", None)
+                cue_in.pop("edge_occlusion", None)
             pending.append(host_pool.submit(
                 _host_cue_job, model_path, view, tuple(host_tasks), host_kv,
                 cue_in, dev_maps,
@@ -736,7 +741,9 @@ def host_cues_for_view(model_path: str, view: dict, tasks, settings, get,
                 settings.SEGMENTATION_25D_EDGE_WEIGHT,
             )
         labels = segment_25d(
-            get("depth_zbuffer"), get("normal"), get("edge_occlusion"),
+            get("depth_zbuffer"),
+            None if input_img is not None else get("normal"),
+            None if input_img is not None else get("edge_occlusion"),
             depth_weight=settings.SEGMENTATION_25D_DEPTH_WEIGHT,
             normal_weight=settings.SEGMENTATION_25D_NORMAL_WEIGHT,
             edge_weight=settings.SEGMENTATION_25D_EDGE_WEIGHT,
