@@ -431,22 +431,24 @@ def build_xl_scene(seed: int = 0):
 
 
 def bench_full13(mesh, curv, batches, cams_np, K, res, kw, device_vps=None,
-                 n_batches: int = 2):
+                 n_batches: int = 3):
     """Full 13-modality rate: the 10 device modalities + the 3 host cues
     (keypoints3d / segment_unsup2d / segment_unsup25d) computed on a worker
     pool from the in-flight device outputs — the same overlap the CLI's
     `--task all` uses; apples-to-apples with the reference's 12-modality
     demo timing (omnidata_annotator/README.md:55).
 
-    Pipelined over n_batches like the CLI's steady state: batch b+1's
-    (async) device dispatch is issued before batch b's host fetch, so the
-    tunnel transfer of one batch overlaps the pool's cue work on the
-    previous one — a single-batch timing charges the ~2.5 MB/view fetch
-    serially, which the CLI never does. Reuses the headline's
-    already-compiled K-view program; the cue-prefix map programs (NARF
-    borders + seg blur/channel maps) are warmed with one untimed pass
-    first. The host cues are CPU-bound, so on this 1-core box the rate is
-    host-pinned; full13_host_cpus records the denominator."""
+    Pipelined over n_batches like the CLI's steady state: every batch's
+    device program is dispatched up front (async) and a dedicated fetch
+    THREAD device_gets them in order, so the tunnel transfer of batch b+1
+    overlaps both the pool's cue work and the main thread's submit of
+    batch b (socket IO releases the GIL — on a 1-core host the cue workers
+    timeslice with it instead of queueing behind it). Only the FIRST
+    batch's fetch is inherently serial; n_batches=3 amortizes it. Reuses
+    the headline's already-compiled K-view program; the cue-prefix map
+    programs (NARF borders + seg blur/channel maps) are warmed with one
+    untimed pass first. The host cues are CPU-bound, so on this 1-core box
+    the rate is host-pinned; full13_host_cpus records the denominator."""
     import jax
     import jax.numpy as jnp
 
@@ -503,17 +505,16 @@ def bench_full13(mesh, curv, batches, cams_np, K, res, kw, device_vps=None,
                 _host_cues, {t: out_np[t][vi] for t in needed}, fov,
                 res, vmaps, seg2d_np[vi], seg25d_np[vi]))
 
+    from concurrent.futures import ThreadPoolExecutor
+
     n_batches = min(n_batches, len(batches))
     t0 = time.perf_counter()
     futures = []
-    with pool:
-        prev = None
-        for bi in range(n_batches):
-            dev = (bi, device_pass(bi))  # async dispatch
-            if prev is not None:
-                submit(prev[0], jax.device_get(prev[1]), futures)
-            prev = dev
-        submit(prev[0], jax.device_get(prev[1]), futures)
+    with pool, ThreadPoolExecutor(1) as fetcher:
+        devs = [device_pass(bi) for bi in range(n_batches)]  # async dispatch
+        fetches = [fetcher.submit(jax.device_get, d) for d in devs]
+        for bi, ff in enumerate(fetches):
+            submit(bi, ff.result(), futures)
         cue_secs = [f.result() for f in futures]
     dt = time.perf_counter() - t0
     K_total = n_batches * K

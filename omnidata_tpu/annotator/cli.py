@@ -430,12 +430,11 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
             if dev_seg2d or dev_seg25d:
                 from ..cues import seg_device as _sd
 
-            def process(chunk_views, out, dmaps):
+            def process(chunk_views, fetched):
                 nonlocal i
-                # ONE host fetch per batch (per-view np.asarray slices would
-                # each pay a device round-trip), then fan out IO + host cues
-                out_np, dmaps_np = jax.device_get(
-                    ({t: out[t] for t in mods if t in out}, dmaps))
+                # batch arrays already on host (fetched by the fetch
+                # thread, overlapping the pool's cue work on prior batches)
+                out_np, dmaps_np = fetched
                 for vi, view in enumerate(chunk_views):
                     vmaps = {}
                     bmaps_np = dmaps_np.get("narf")
@@ -455,7 +454,14 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                     i += 1
                     pflr.step(f"finished img {i}/{n_imgs}")
 
-            prev = None  # software pipeline: fetch batch b while b+1 renders
+            # software pipeline: a 1-thread fetcher device_gets batch b
+            # while b+1 renders AND while the main thread fans out batch
+            # b-1's IO/cues — one host fetch per batch (per-view
+            # np.asarray slices would each pay a device round-trip), off
+            # the main thread (tunnel transfers are socket IO; they
+            # release the GIL and overlap the CPU-bound cue pool)
+            fetcher = ThreadPoolExecutor(max_workers=1)
+            prev = None
             for s in range(0, n_imgs, K):
                 chunk_views = flat_views[s : s + K]
                 cams = [
@@ -485,11 +491,15 @@ def run_device_tasks(model_path: str, tasks: list[str], settings,
                     dmaps["seg25d_q"] = _sd.seg25d_channel_maps(
                         out["depth_zbuffer"], out["normal"],
                         out["edge_occlusion"])
+                fut = fetcher.submit(
+                    jax.device_get,
+                    ({t: out[t] for t in mods if t in out}, dmaps))
                 if prev is not None:
-                    process(*prev)
-                prev = (chunk_views, out, dmaps)
+                    process(prev[0], prev[1].result())
+                prev = (chunk_views, fut)
             if prev is not None:
-                process(*prev)
+                process(prev[0], prev[1].result())
+            fetcher.shutdown()
         else:
             import jax.numpy as jnp
 
