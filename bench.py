@@ -510,7 +510,11 @@ def bench_full13(mesh, curv, batches, cams_np, K, res, kw, device_vps=None,
     n_batches = min(n_batches, len(batches))
     t0 = time.perf_counter()
     futures = []
-    with pool, ThreadPoolExecutor(1) as fetcher:
+    # 2 fetch streams: the tunnel's per-connection bandwidth is the
+    # pipeline's bound on this box (measured 10-35 MB/s across sessions for
+    # the ~243 MB/batch cue payload); two concurrent device_gets measured
+    # 1.34x the single-stream rate
+    with pool, ThreadPoolExecutor(2) as fetcher:
         devs = [device_pass(bi) for bi in range(n_batches)]  # async dispatch
         fetches = [fetcher.submit(jax.device_get, d) for d in devs]
         for bi, ff in enumerate(fetches):
@@ -518,12 +522,36 @@ def bench_full13(mesh, curv, batches, cams_np, K, res, kw, device_vps=None,
         cue_secs = [f.result() for f in futures]
     dt = time.perf_counter() - t0
     K_total = n_batches * K
-    # per-cue host cost (median over the batch, single core) + the v5e-8
-    # scaling model committed in BASELINE.md "full13 scaling model":
-    # device side scales with 8 chips, host cues scale with the VM's cores
-    # (ct5lp-hightpu-8t ships 224 vCPUs; 208 assumed usable for cue work)
-    med = {k: float(np.median([c[k] for c in cue_secs]))
-           for k in cue_secs[0]}
+    # Per-cue host cost for the v5e-8 scaling model committed in
+    # BASELINE.md "full13 scaling model": device side scales with 8 chips,
+    # host cues scale with the VM's cores (ct5lp-hightpu-8t ships 224
+    # vCPUs; 208 assumed usable for cue work). Measured on a QUIET host
+    # (3 views re-run after the timed region, nothing else on the box):
+    # the in-pipeline medians inflate 1.5-2x from timeslicing against the
+    # fetch thread + the second worker on this 1-core box — contention a
+    # 224-core pod host does not have, so using them would understate the
+    # modeled rate. The pipelined medians still ride along for honesty.
+    d0 = device_pass(0)
+    # force device completion BEFORE timing the fetch (axon
+    # block_until_ready only confirms enqueue): fetch a dependent scalar
+    float(jnp.sum(d0[0]["depth_zbuffer"].astype(jnp.int32)))
+    tf0 = time.perf_counter()
+    f = jax.device_get(d0)
+    fetch_s = time.perf_counter() - tf0
+    payload_mb = sum(a.nbytes for a in jax.tree_util.tree_leaves(f)) / 1e6
+    quiet = []
+    for vi in range(3):
+        out_np, bmaps_np, seg2d_np, seg25d_np = f
+        fov = fov_of(0, vi)
+        f_px = res / (2.0 * math.tan(fov / 2.0))
+        S = min(n_lvl, nd.n_levels_for(f_px, res, res))
+        vmaps = [(lvl[0][vi], lvl[1][vi], lvl[2][vi])
+                 for lvl in bmaps_np[:S]]
+        quiet.append(_host_cues({t: out_np[t][vi] for t in needed}, fov,
+                                res, vmaps, seg2d_np[vi], seg25d_np[vi]))
+    med = {k: float(np.median([c[k] for c in quiet])) for k in quiet[0]}
+    med_pipelined = {k: float(np.median([c[k] for c in cue_secs]))
+                     for k in cue_secs[0]}
     host_s = sum(med.values())
     modeled = 208.0 / host_s
     if device_vps:  # capped by 8 chips of the measured device-only rate
@@ -531,6 +559,14 @@ def bench_full13(mesh, curv, batches, cams_np, K, res, kw, device_vps=None,
     return {"full13_vps": round(K_total / dt, 2),
             "full13_host_cpus": os.cpu_count() or 1,
             "full13_cue_secs": {k: round(v, 3) for k, v in med.items()},
+            "full13_cue_secs_pipelined": {k: round(v, 3)
+                                          for k, v in med_pipelined.items()},
+            # tunnel weather report: the cue payload is ~7.6 MB/view and
+            # the tunnel swings 10-35 MB/s session-to-session, so the
+            # measured full13 rate is fetch-bound below ~20 MB/s — this
+            # makes round-over-round full13 deltas interpretable
+            "full13_fetch_mbps": round(payload_mb / fetch_s, 1),
+            "full13_payload_mb_per_view": round(payload_mb / K, 2),
             "full13_modeled_v5e8_vps": round(modeled, 1)}
 
 
