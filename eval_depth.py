@@ -19,6 +19,13 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=384)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--align", choices=("none", "ssi"), default="none",
+                   help="'ssi': per-image least-squares scale/shift "
+                        "alignment of pred to gt before metrics — the MiDaS "
+                        "protocol for models trained with the "
+                        "scale-shift-invariant stage of the loss "
+                        "(midas_loss.py:10-30; absolute metrics are "
+                        "meaningless for an SSI-stage model)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -80,6 +87,13 @@ def main(argv=None):
         pred = jnp.clip(bundle.apply(bundle.variables, rgb), 0.0, 1.0)[:, None]
         target = jnp.asarray(batch["depth_zbuffer"], jnp.float32)
         mask = jnp.asarray(batch["mask_valid"] > 0.5)
+        if args.align == "ssi":
+            from omnidata_tpu.losses.midas import compute_scale_and_shift
+
+            s, t = compute_scale_and_shift(pred[:, 0], target[:, 0],
+                                           mask[:, 0])
+            pred = jnp.clip(s[:, None, None, None] * pred
+                            + t[:, None, None, None], 0.0, 1.0)
         m = depth_metrics(pred, target, mask)
         B = int(batch["rgb"].shape[0])  # partial tail batch: weight by size
         for k, v in m.items():

@@ -443,3 +443,49 @@ def test_oasis_normal_eval_cli(tmp_path):
         out = _json.loads(buf.getvalue())
         assert set(out) == {"MAE", "MDAE", "11.25", "22.5", "30"}
         assert 0 <= out["MAE"] <= 180 and np.isfinite(out["MAE"])
+
+
+@pytest.mark.slow
+def test_depth_eval_ssi_alignment(tmp_path):
+    """eval_depth.py --align ssi (the MiDaS protocol for SSI-stage models:
+    per-image least-squares scale/shift of pred onto gt before metrics,
+    midas_loss.py:10-30) runs end-to-end on a fabricated annotated dir and
+    changes the metrics vs --align none; aligned eval_mse must not exceed
+    unaligned (least squares minimizes exactly that residual)."""
+    import contextlib
+    import io
+
+    from PIL import Image
+
+    import eval_depth
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "b1"
+    for task in ("rgb", "depth_zbuffer", "mask_valid"):
+        (root / task).mkdir(parents=True)
+    for p in range(2):
+        for v in range(2):
+            fn = f"point_{p}_view_{v}_domain"
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                root / "rgb" / f"{fn}_rgb.png")
+            Image.fromarray(
+                (rng.rand(64, 64) * 30000 + 2000).astype(np.uint16)).save(
+                root / "depth_zbuffer" / f"{fn}_depth_zbuffer.png")
+            Image.fromarray(
+                np.full((64, 64), 255, np.uint8)).save(
+                root / "mask_valid" / f"{fn}_mask_valid.png")
+
+    def run(align):
+        with contextlib.redirect_stdout(io.StringIO()):
+            return eval_depth.main([
+                "--data_path", str(tmp_path), "--image_size", "64",
+                "--batch_size", "2", "--align", align])
+
+    raw = run("none")
+    aligned = run("ssi")
+    assert all(np.isfinite(v) for v in raw.values())
+    assert all(np.isfinite(v) for v in aligned.values())
+    assert aligned != raw  # the flag is live
+    # alignment minimizes the per-image squared residual; the post-align
+    # [0,1] clip can only shrink it further for gt in [0,1]
+    assert aligned["eval_mse"] <= raw["eval_mse"] + 1e-6

@@ -232,7 +232,12 @@ def eval_normal_suite(val_root: str, res: int, checkpoint: str | None) -> dict:
 def eval_depth_suite(val_root: str, checkpoint: str | None) -> dict:
     import eval_depth
 
-    argv = ["--data_path", val_root, "--image_size", "384"]
+    # --align ssi: the model is trained with the SSI stage of the MiDaS
+    # loss (config/depth.yml schedule before step 15k), so the eval
+    # protocol aligns pred to gt per image by least-squares scale/shift
+    # before metrics (midas_loss.py:10-30) — the MiDaS convention;
+    # unaligned absolute metrics are meaningless for an SSI-stage model
+    argv = ["--data_path", val_root, "--image_size", "384", "--align", "ssi"]
     if checkpoint:
         argv += ["--checkpoint", checkpoint]
     with contextlib.redirect_stdout(io.StringIO()):
@@ -253,6 +258,9 @@ def main(argv=None):
     p.add_argument("--edge", type=float, default=0.35,
                    help="long-edge split threshold (coarser for CPU smokes)")
     p.add_argument("--skip_depth", action="store_true")
+    p.add_argument("--skip_normal", action="store_true",
+                   help="depth-only rerun (ACCURACY.md then keeps no "
+                        "normals table — merge by hand or run both)")
     p.add_argument("--out", default=os.path.join(REPO, "ACCURACY.md"))
     args = p.parse_args(argv)
 
@@ -280,14 +288,17 @@ def main(argv=None):
     results: dict = {"n_train_views": n_train, "n_val_views": n_val,
                      "device": str(jax.devices()[0].device_kind)}
 
-    _note("eval: untrained UNet baseline")
-    results["normal_untrained"] = eval_normal_suite(val_root, args.res, None)
-    ckpt_n = train_normal_model(args.root, train_root, val_root,
-                                args.normal_steps, args.res, args.normal_batch)
-    _note("eval: trained UNet-normals")
-    results["normal_trained"] = eval_normal_suite(
-        val_root, args.res, _best_or_last(ckpt_n))
-    results["normal_steps"] = args.normal_steps
+    if not args.skip_normal:
+        _note("eval: untrained UNet baseline")
+        results["normal_untrained"] = eval_normal_suite(
+            val_root, args.res, None)
+        ckpt_n = train_normal_model(
+            args.root, train_root, val_root, args.normal_steps, args.res,
+            args.normal_batch)
+        _note("eval: trained UNet-normals")
+        results["normal_trained"] = eval_normal_suite(
+            val_root, args.res, _best_or_last(ckpt_n))
+        results["normal_steps"] = args.normal_steps
 
     if not args.skip_depth:
         _note("eval: untrained DPT baseline")
@@ -352,7 +363,8 @@ def write_report(path: str, args, r: dict) -> None:
         lines += [
             "",
             "## Depth — DPT-hybrid (config/depth.yml hyperparameters, "
-            f"{r.get('depth_steps')} steps, SSI stage)",
+            f"{r.get('depth_steps')} steps, SSI stage; eval per-image "
+            "scale/shift-aligned — the MiDaS protocol for SSI-stage models)",
             "",
             "| model | " + " | ".join(dk) + " |",
             "|---|" + "---|" * len(dk),
