@@ -218,17 +218,27 @@ def md5sum(path: str, chunk: int = 1 << 20) -> str:
 
 
 def download_file(url: str, dest: str, use_aria2: bool = False,
-                  connections: int = 8) -> None:
+                  connections: int = 8, checksum: str | None = None) -> None:
+    """Fetch one file. With use_aria2, prefer the persistent RPC daemon
+    (reference download.py:129-140), then the one-shot aria2c CLI, then
+    plain urllib — all three are interchangeable here."""
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    if use_aria2 and shutil.which("aria2c"):
-        subprocess.run(
-            ["aria2c", "-x", str(connections), "-o", os.path.basename(dest),
-             "-d", os.path.dirname(dest), url],
-            check=True,
-        )
-    else:
-        with urllib.request.urlopen(url) as r, open(dest, "wb") as fh:
-            shutil.copyfileobj(r, fh)
+    if use_aria2:
+        from . import aria2_rpc
+        daemon = aria2_rpc.ensure_daemon(connections_total=connections)
+        if daemon is not None:
+            daemon.download(url, dest, checksum=checksum)
+            return
+        if shutil.which("aria2c"):
+            subprocess.run(
+                ["aria2c", "-x", str(connections),
+                 "-o", os.path.basename(dest),
+                 "-d", os.path.dirname(dest), url],
+                check=True,
+            )
+            return
+    with urllib.request.urlopen(url) as r, open(dest, "wb") as fh:
+        shutil.copyfileobj(r, fh)
 
 
 def model_dest_dir(model: ZippedModel, dest: str) -> str:
@@ -280,7 +290,9 @@ def process_model(model: ZippedModel, dest: str, dest_compressed: str,
     for attempt in range(max_tries):
         try:
             if not os.path.exists(tar_path):
-                download_file(model.url, tar_path, use_aria2)
+                download_file(model.url, tar_path, use_aria2,
+                              checksum=None if ignore_checksum
+                              else model.checksum)
             if not ignore_checksum and model.checksum:
                 if md5sum(tar_path) != model.checksum:
                     os.remove(tar_path)

@@ -229,6 +229,91 @@ def test_process_model_roundtrip(tmp_path):
     assert errors
 
 
+def test_aria2_rpc_client_against_fake_daemon(tmp_path):
+    """Drive Aria2RPC's full addUri/tellStatus protocol against an in-process
+    JSON-RPC server that mimics aria2 (serves file:// URIs, checks the
+    md5 option server-side like the real daemon's --check-integrity)."""
+    import hashlib
+    import json as jsonlib
+    import shutil as shutil_mod
+    import threading
+    import urllib.request as _url
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from omnidata_tpu.data.aria2_rpc import Aria2RPC
+
+    jobs = {}
+
+    class FakeAria2(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            req = jsonlib.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            method, params = req["method"], req.get("params", [])
+            if method == "aria2.getVersion":
+                result = {"version": "fake"}
+            elif method == "aria2.addUri":
+                (uri,), opts = params[0], params[1]
+                gid = f"g{len(jobs)}"
+                dest = os.path.join(opts["dir"], opts["out"])
+                try:
+                    with _url.urlopen(uri) as r, open(dest, "wb") as fh:
+                        shutil_mod.copyfileobj(r, fh)
+                    want = opts.get("checksum", "")
+                    got = "md5=" + hashlib.md5(
+                        open(dest, "rb").read()).hexdigest()
+                    if want and want != got:
+                        jobs[gid] = {"status": "error",
+                                     "errorMessage": "checksum mismatch"}
+                    else:
+                        jobs[gid] = {"status": "complete"}
+                except Exception as e:  # noqa: BLE001
+                    jobs[gid] = {"status": "error", "errorMessage": str(e)}
+                result = gid
+            elif method == "aria2.tellStatus":
+                result = jobs[params[0]]
+            else:
+                result = None
+            body = jsonlib.dumps(
+                {"jsonrpc": "2.0", "id": req["id"], "result": result}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("localhost", 0), FakeAria2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = Aria2RPC(port=srv.server_address[1])
+        assert client.alive()
+
+        src = tmp_path / "payload.bin"
+        src.write_bytes(b"tar bytes here")
+        dest = tmp_path / "fetched" / "payload.bin"
+        client.download(f"file://{src}", str(dest),
+                        checksum=md5sum(str(src)))
+        assert dest.read_bytes() == b"tar bytes here"
+
+        # server-side checksum rejection surfaces as IOError
+        with pytest.raises(IOError, match="checksum"):
+            client.download(f"file://{src}", str(tmp_path / "bad.bin"),
+                            checksum="0" * 32)
+    finally:
+        srv.shutdown()
+
+
+def test_aria2_ensure_daemon_absent(monkeypatch):
+    """Without an aria2c binary, ensure_daemon declines and download_file
+    falls back to urllib."""
+    import omnidata_tpu.data.aria2_rpc as rpc
+
+    monkeypatch.setattr(rpc, "_DAEMON", None)
+    monkeypatch.setattr(rpc.shutil, "which", lambda _: None)
+    assert rpc.ensure_daemon() is None
+
+
 # ---------------- augment ----------------
 
 def test_separable_gaussian_identity_and_blur():
