@@ -304,6 +304,27 @@ def test_aria2_rpc_client_against_fake_daemon(tmp_path):
         srv.shutdown()
 
 
+def test_download_file_routes_through_rpc_daemon(tmp_path, monkeypatch):
+    """use_aria2=True must prefer the persistent daemon and pass the md5
+    through for server-side verification."""
+    import omnidata_tpu.data.aria2_rpc as rpc
+    import omnidata_tpu.data.download as dl
+
+    calls = []
+
+    class FakeClient:
+        def download(self, url, dest, checksum=None, **kw):
+            calls.append((url, dest, checksum))
+            open(dest, "wb").write(b"via-rpc")
+
+    monkeypatch.setattr(rpc, "ensure_daemon", lambda **kw: FakeClient())
+    dest = tmp_path / "d" / "f.tar"
+    dl.download_file("http://x.test/f.tar", str(dest), use_aria2=True,
+                     checksum="a" * 32)
+    assert calls == [("http://x.test/f.tar", str(dest), "a" * 32)]
+    assert dest.read_bytes() == b"via-rpc"
+
+
 def test_aria2_ensure_daemon_absent(monkeypatch):
     """Without an aria2c binary, ensure_daemon declines and download_file
     falls back to urllib."""
